@@ -1,0 +1,83 @@
+"""All-pairs 1D correlation: volume, pyramid, and pyramid lookup.
+
+TPU-native rebuild of the reference's ``CorrBlock1D`` (core/corr.py:110-156)
+and ``CorrBlock1D_Cosine`` (core/corr.py:160-209):
+
+  - volume: ``corr[b,h,i,j] = <f1[b,h,i,:], f2[b,h,j,:]> / sqrt(D)`` — one
+    batched matmul on the MXU, fp32 accumulation regardless of feature dtype
+    (the reference always runs correlation in fp32: raft_stereo.py:116).
+  - pyramid: mean-pool pairs along the j (right-image width) axis, ``L``
+    levels. The reference builds L+1 levels but only ever samples L of them
+    (core/corr.py:123-125 vs :133); we build exactly L.
+  - lookup: at level i, sample 2r+1 offsets around ``x/2^i`` with 1D bilinear
+    interpolation and zero padding (core/corr.py:133-146), concatenated over
+    levels → (B, H, W, L*(2r+1)), fp32 (``:146`` casts to float).
+
+The lookup here is the pure-XLA reference implementation (a single gather per
+level); ``ops/pallas/corr_lookup.py`` provides the fused Pallas kernel used on
+the hot path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dkt_stereo_tpu.ops.sampler import sample_row_1d
+
+
+def corr_volume(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, normalize: bool = False
+) -> jnp.ndarray:
+    """(B,H,W1,D),(B,H,W2,D) → (B,H,W1,W2) fp32 correlation volume.
+
+    ``normalize=True`` gives the cosine variant (core/corr.py:198-209):
+    features L2-normalized over D, no 1/sqrt(D) scaling, values in [-1, 1].
+    """
+    D = fmap1.shape[-1]
+    f1 = fmap1.astype(jnp.float32)
+    f2 = fmap2.astype(jnp.float32)
+    if normalize:
+        f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
+        f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
+    corr = jnp.einsum(
+        "bhid,bhjd->bhij",
+        f1,
+        f2,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if not normalize:
+        corr = corr / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    return corr
+
+
+def corr_pyramid(volume: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
+    """Mean-pool pairs along the last axis, ``num_levels`` entries (level 0 =
+    the input volume). Odd trailing widths drop the last column, matching
+    torch ``avg_pool2d([1,2], stride=[1,2])`` floor behavior."""
+    pyramid = [volume]
+    v = volume
+    for _ in range(num_levels - 1):
+        w2 = v.shape[-1]
+        v = v[..., : (w2 // 2) * 2]
+        v = v.reshape(*v.shape[:-1], w2 // 2, 2).mean(axis=-1)
+        pyramid.append(v)
+    return pyramid
+
+
+def corr_lookup(
+    pyramid: list[jnp.ndarray], coords_x: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Sample the pyramid at ``coords_x`` (B,H,W,1) → (B,H,W,L*(2r+1)) fp32.
+
+    Per level i: positions ``coords_x/2^i + dx`` for dx in [-r..r]
+    (core/corr.py:135-141); channel order is [level0 taps, level1 taps, ...]
+    with taps ordered -r..r, matching the reference concat (:145)."""
+    r = radius
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    out = []
+    for i, vol in enumerate(pyramid):
+        x = coords_x.astype(jnp.float32) / (2**i) + dx  # (B,H,W,2r+1)
+        out.append(sample_row_1d(vol, x))
+    return jnp.concatenate(out, axis=-1)

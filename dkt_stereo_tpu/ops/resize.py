@@ -1,0 +1,89 @@
+"""Resizing / pooling ops with torch-parity semantics, MXU-friendly.
+
+``interp_bilinear_align`` reproduces ``F.interpolate(mode='bilinear',
+align_corners=True)`` (used by the update block's cross-scale exchange,
+core/update.py:93-95, and ``upflow8`` core/utils/utils.py:83-85). Instead of a
+gather, it is expressed as two small dense matmuls (separable interpolation):
+``out = R @ img @ C^T`` with static (dst, src) weight matrices — this runs on
+the MXU and needs no dynamic indexing at all.
+
+``avg_pool2d`` matches torch ``F.avg_pool2d`` with
+``count_include_pad=True`` (the torch default, used by ``pool2x``
+core/update.py:87-88 and the corr pyramid's [1,2] pooling core/corr.py:124).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _linear_interp_matrix(dst: int, src: int, dtype=np.float32) -> np.ndarray:
+    """(dst, src) row-stochastic matrix for 1D align_corners=True resize."""
+    if src == 1:
+        return np.ones((dst, 1), dtype=dtype)
+    if dst == 1:
+        m = np.zeros((1, src), dtype=dtype)
+        m[0, 0] = 1.0
+        return m
+    pos = np.arange(dst, dtype=np.float64) * (src - 1) / (dst - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.minimum(lo, src - 2)
+    w = pos - lo
+    m = np.zeros((dst, src), dtype=dtype)
+    m[np.arange(dst), lo] = (1.0 - w).astype(dtype)
+    m[np.arange(dst), lo + 1] = w.astype(dtype)
+    return m
+
+
+def interp_bilinear_align(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear align_corners=True resize of NHWC ``x`` to (Ho, Wo)."""
+    _, H, W, _ = x.shape
+    Ho, Wo = out_hw
+    if (Ho, Wo) == (H, W):
+        return x
+    R = jnp.asarray(_linear_interp_matrix(Ho, H))
+    C = jnp.asarray(_linear_interp_matrix(Wo, W))
+    # (B,H,W,C) -> rows: contract H with R^T -> (B,Ho,W,C)
+    hi = jax.lax.Precision.HIGHEST  # interp weights are parity-critical
+    y = jnp.einsum("oh,bhwc->bowc", R.astype(x.dtype), x, precision=hi)
+    y = jnp.einsum("pw,bowc->bopc", C.astype(x.dtype), y, precision=hi)
+    return y
+
+
+def upflow(flow: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """``upflow8`` (core/utils/utils.py:83-85): bilinear ×factor and scale values."""
+    _, H, W, _ = flow.shape
+    return factor * interp_bilinear_align(flow, (factor * H, factor * W))
+
+
+def avg_pool2d(
+    x: jnp.ndarray,
+    window: tuple[int, int],
+    stride: tuple[int, int],
+    padding: tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """torch-style average pool over NHWC, count_include_pad=True."""
+    kh, kw = window
+    sh, sw = stride
+    ph, pw = padding
+    summed = jax.lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    )
+    return summed / jnp.asarray(kh * kw, x.dtype)
+
+
+def pool2x(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 average pool (core/update.py:87-88)."""
+    return avg_pool2d(x, (3, 3), (2, 2), (1, 1))
+
+
+def pool4x(x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 stride-4 pad-1 average pool (core/update.py:90-91)."""
+    return avg_pool2d(x, (5, 5), (4, 4), (1, 1))
