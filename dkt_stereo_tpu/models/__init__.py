@@ -1,0 +1,12 @@
+"""Model zoo + registry.
+
+Mirrors the reference registry (meta_arch/__init__.py:7-21) — and registers
+IGEVStereo, which the reference forgot (SURVEY.md §2.3) — mapping model names
+to (module class, config class, loss fn).
+"""
+
+from dkt_stereo_tpu.models.registry import get_model, register_model, MODELS
+from dkt_stereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
+from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
+
+register_model("RAFTStereo", RAFTStereo, RAFTStereoConfig, sequence_loss_raft)

@@ -1,0 +1,210 @@
+"""RAFT-Stereo, TPU-native.
+
+Rebuild of meta_arch/raft_stereo/raft_stereo.py:30-187 as a Flax module whose
+iterative refinement loop is an ``nn.scan`` (single compiled step, parameters
+broadcast) instead of a Python loop.
+
+Design deltas vs the reference (all behavior-preserving):
+  - NHWC layout; disparity tracked as a single x-coordinate channel. The
+    reference carries a 2-channel (x, y) flow and zeroes the vertical delta
+    every iteration (raft_stereo.py:164); here only x exists. The motion
+    encoder and flow head keep their 2-channel flow interface (zeros appended)
+    so reference checkpoints import without shape surgery.
+  - ``coords1.detach()`` per iteration (:153) → ``stop_gradient`` in the step.
+  - train mode emits the per-iteration upsampled disparities as a stacked
+    (iters, B, H, W) array (scan ys) rather than a Python list.
+  - mixed precision: encoders/GRUs in ``dtype`` (bf16 under the reference's
+    autocast policy, :95,156), correlation volume/lookup and convex
+    upsampling always fp32 (:116, :177 outside autocast).
+
+Outputs keep the reference's negative-disparity "flow" convention
+(core/stereo_datasets.py:136).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dkt_stereo_tpu.nn.blocks import BasicEncoder, MultiBasicEncoder, ResidualBlock, conv
+from dkt_stereo_tpu.nn.gru import BasicMultiUpdateBlock
+from dkt_stereo_tpu.ops.corr import corr_lookup, corr_pyramid, corr_volume
+from dkt_stereo_tpu.ops.resize import interp_bilinear_align
+from dkt_stereo_tpu.ops.sampler import coords_grid_x
+from dkt_stereo_tpu.ops.upsample import convex_upsample
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTStereoConfig:
+    """Field names/defaults follow configs/raft_stereo/base.json + CLI defaults
+    (tools/ft_dkt.py:312-344)."""
+
+    backbone_type: str = "default"  # "default" | "interpolate"
+    corr_implementation: str = "reg"  # "reg" | "cosine" | "alt" (alt == reg numerically)
+    shared_backbone: bool = False
+    corr_levels: int = 4
+    corr_radius: int = 4
+    n_downsample: int = 2
+    context_norm: str = "batch"
+    slow_fast_gru: bool = False
+    n_gru_layers: int = 3
+    hidden_dims: Tuple[int, ...] = (128, 128, 128)
+    mixed_precision: bool = True
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.mixed_precision else jnp.float32
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RAFTStereoConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items() if k in known}
+        return cls(**kw)
+
+
+class _IterStep(nn.Module):
+    """One refinement iteration; scanned with params broadcast."""
+
+    cfg: RAFTStereoConfig
+    collect_up: bool  # train mode: emit upsampled disp each step
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        cfg = self.cfg
+        net, coords1x, _ = carry
+        pyramid, inp, coords0x = consts
+        dt = cfg.compute_dtype
+
+        coords1x = jax.lax.stop_gradient(coords1x)
+        corr = corr_lookup(list(pyramid), coords1x, cfg.corr_radius)
+        flow_x = coords1x - coords0x
+        flow2 = jnp.concatenate([flow_x, jnp.zeros_like(flow_x)], axis=-1)
+
+        block = BasicMultiUpdateBlock(
+            cfg.n_gru_layers, cfg.n_downsample, cfg.hidden_dims, dt, name="update_block"
+        )
+        if cfg.n_gru_layers == 3 and cfg.slow_fast_gru:
+            net = block(net, inp, iter32=True, iter16=False, iter08=False, update=False)
+        if cfg.n_gru_layers >= 2 and cfg.slow_fast_gru:
+            net = block(
+                net,
+                inp,
+                iter32=cfg.n_gru_layers == 3,
+                iter16=True,
+                iter08=False,
+                update=False,
+            )
+        net, up_mask, delta = block(
+            net,
+            inp,
+            corr.astype(dt),
+            flow2.astype(dt),
+            iter32=cfg.n_gru_layers == 3,
+            iter16=cfg.n_gru_layers >= 2,
+        )
+        # stereo: epipolar projection — only the x component of delta survives
+        coords1x = coords1x + delta[..., 0:1].astype(jnp.float32)
+
+        new_carry = (net, coords1x, up_mask)
+        if self.collect_up:
+            disp_up = convex_upsample(
+                coords1x - coords0x, up_mask.astype(jnp.float32), 2**cfg.n_downsample
+            )
+            return new_carry, disp_up[..., 0]
+        # test mode: nothing to collect (mask travels in the carry; only the
+        # final iteration's mask is needed, raft_stereo.py:170-177)
+        return new_carry, jnp.zeros((), jnp.float32)
+
+
+class RAFTStereo(nn.Module):
+    """Forward: (image1, image2 in [0,255] NHWC) → disparity-as-negative-flow.
+
+    train mode: {"disp_preds": (iters, B, H, W)} — per-iteration upsampled.
+    test mode:  (coarse_flow (B,H/f,W/f,1), disp_up (B, H, W)).
+    """
+
+    cfg: RAFTStereoConfig
+    iters: int = 12
+    test_mode: bool = False
+
+    @nn.compact
+    def __call__(self, image1, image2, flow_init: Optional[jnp.ndarray] = None):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        factor = 2**cfg.n_downsample
+
+        x1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
+        x2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
+
+        cnet = MultiBasicEncoder(
+            output_dim=(tuple(cfg.hidden_dims), tuple(cfg.hidden_dims)),
+            norm_fn=cfg.context_norm,
+            downsample=cfg.n_downsample,
+            num_layers=cfg.n_gru_layers,
+            dtype=dt,
+            name="cnet",
+        )
+
+        if cfg.backbone_type == "default":
+            if cfg.shared_backbone:
+                *cnet_list, x = cnet(jnp.concatenate([x1, x2], axis=0), dual_inp=True)
+                x = ResidualBlock(128, 128, "instance", 1, dtype=dt, name="conv2_res")(x)
+                x = conv(256, 3, 1, 1, dt, name="conv2_out")(x)
+                fmap1, fmap2 = jnp.split(x, 2, axis=0)
+            else:
+                cnet_list = cnet(x1)
+                fnet = BasicEncoder(256, "instance", cfg.n_downsample, dtype=dt, name="fnet")
+                fmap = fnet(jnp.concatenate([x1, x2], axis=0))
+                fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
+        elif cfg.backbone_type == "interpolate":
+            cnet_list = cnet(x1)
+            _, H, W, _ = x1.shape
+            fmap1 = interp_bilinear_align(x1, (H // factor, W // factor))
+            fmap2 = interp_bilinear_align(x2, (H // factor, W // factor))
+        else:
+            raise ValueError(cfg.backbone_type)
+
+        net = tuple(jnp.tanh(o[0]) for o in cnet_list)
+        inp_raw = [nn.relu(o[1]) for o in cnet_list]
+        # precompute the GRU context biases once (raft_stereo.py:113-114)
+        inp = []
+        for i, feat in enumerate(inp_raw[: cfg.n_gru_layers]):
+            z = conv(cfg.hidden_dims[i] * 3, 3, 1, 1, dt, name=f"context_zqr_convs_{i}")(feat)
+            inp.append(tuple(jnp.split(z, 3, axis=-1)))
+        inp = tuple(inp)
+
+        fmap1 = fmap1.astype(jnp.float32)
+        fmap2 = fmap2.astype(jnp.float32)
+        cosine = cfg.corr_implementation in ("cosine", "mix_fmap_image")
+        volume = corr_volume(fmap1, fmap2, normalize=cosine)
+        pyramid = tuple(corr_pyramid(volume, cfg.corr_levels))
+
+        B, Hc, Wc, _ = fmap1.shape
+        coords0x = coords_grid_x(B, Hc, Wc)
+        coords1x = coords0x if flow_init is None else coords0x + flow_init
+
+        collect = not self.test_mode
+        Scan = nn.scan(
+            _IterStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=self.iters,
+        )
+        step = Scan(cfg, collect, name="step")
+        mask0 = jnp.zeros((B, Hc, Wc, factor**2 * 9), cfg.compute_dtype)
+        (net, coords1x, up_mask), ys = step(
+            (net, coords1x, mask0), (pyramid, inp, coords0x)
+        )
+
+        if self.test_mode:
+            disp_up = convex_upsample(
+                coords1x - coords0x, up_mask.astype(jnp.float32), factor
+            )[..., 0]
+            return coords1x - coords0x, disp_up
+        return {"disp_preds": ys}

@@ -1,0 +1,173 @@
+"""ConvGRU update machinery (rebuild of core/update.py).
+
+The reference mutates a list of per-scale hidden states in place
+(core/update.py:115-138); here the update block is a pure function
+(net_tuple, inputs) → (net_tuple, mask, delta) so the iterative refinement
+loop can be a ``lax.scan`` with parameters broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dkt_stereo_tpu.nn.blocks import conv, kaiming_out
+from dkt_stereo_tpu.ops.resize import interp_bilinear_align, pool2x
+
+
+class FlowHead(nn.Module):
+    """core/update.py:6-14."""
+
+    hidden_dim: int = 256
+    output_dim: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(conv(self.hidden_dim, 3, 1, 1, self.dtype, name="conv1")(x))
+        return conv(self.output_dim, 3, 1, 1, self.dtype, name="conv2")(x)
+
+
+class ConvGRU(nn.Module):
+    """core/update.py:16-32: 3×3 gated recurrence with context biases.
+
+    ``ctx`` is the per-scale (cz, cr, cq) triple precomputed from the context
+    features (raft_stereo.py:114); pass zeros-like tensors when absent.
+    """
+
+    hidden_dim: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, ctx, *x_list):
+        cz, cr, cq = ctx
+        x = jnp.concatenate(x_list, axis=-1)
+        hx = jnp.concatenate([h, x], axis=-1)
+        k, p = self.kernel_size, self.kernel_size // 2
+        z = nn.sigmoid(conv(self.hidden_dim, k, 1, p, self.dtype, name="convz")(hx) + cz)
+        r = nn.sigmoid(conv(self.hidden_dim, k, 1, p, self.dtype, name="convr")(hx) + cr)
+        q = nn.tanh(
+            conv(self.hidden_dim, k, 1, p, self.dtype, name="convq")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+            + cq
+        )
+        return (1 - z) * h + z * q
+
+
+class SepConvGRU(nn.Module):
+    """core/update.py:34-62: 1×5 then 5×1 separable GRU (no context biases)."""
+
+    hidden_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, *x_list):
+        x = jnp.concatenate(x_list, axis=-1)
+
+        def gate(name, kernel, padding, inp):
+            return conv(self.hidden_dim, kernel, 1, padding, self.dtype, name=name)(inp)
+
+        for axis, suffix in ((1, "1"), (2, "2")):
+            kernel = (1, 5) if axis == 1 else (5, 1)
+            pad = [(0, 0), (2, 2)] if axis == 1 else [(2, 2), (0, 0)]
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(gate(f"convz{suffix}", kernel, pad, hx))
+            r = nn.sigmoid(gate(f"convr{suffix}", kernel, pad, hx))
+            q = nn.tanh(
+                gate(f"convq{suffix}", kernel, pad, jnp.concatenate([r * h, x], axis=-1))
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    """core/update.py:64-85. ``corr``: (B,H,W,levels*(2r+1)); ``flow``:
+    (B,H,W,2) (vertical channel constant zero in stereo). Output 128ch
+    (126 fused + 2 flow)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(conv(64, 1, 1, 0, self.dtype, name="convc1")(corr))
+        cor = nn.relu(conv(64, 3, 1, 1, self.dtype, name="convc2")(cor))
+        flo = nn.relu(conv(64, 7, 1, 3, self.dtype, name="convf1")(flow))
+        flo = nn.relu(conv(64, 3, 1, 1, self.dtype, name="convf2")(flo))
+        out = nn.relu(
+            conv(126, 3, 1, 1, self.dtype, name="conv")(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicMultiUpdateBlock(nn.Module):
+    """core/update.py:97-138: 3-level GRU hierarchy with cross-scale exchange.
+
+    ``net``: tuple fine→coarse; ``inp``: tuple of (cz, cr, cq) triples per
+    scale. Flags mirror the reference's iter08/16/32 + update arguments used
+    by the slow-fast schedule (raft_stereo.py:157-161).
+    """
+
+    n_gru_layers: int = 3
+    n_downsample: int = 2
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        net,
+        inp,
+        corr=None,
+        flow=None,
+        iter08=True,
+        iter16=True,
+        iter32=True,
+        update=True,
+    ):
+        hd = self.hidden_dims
+        net = list(net)
+        encoder_output_dim = 128
+
+        gru08 = ConvGRU(hd[2], dtype=self.dtype, name="gru08")
+        gru16 = ConvGRU(hd[1], dtype=self.dtype, name="gru16")
+        gru32 = ConvGRU(hd[0], dtype=self.dtype, name="gru32")
+
+        if iter32:
+            net[2] = gru32(net[2], inp[2], pool2x(net[1]))
+        if iter16:
+            if self.n_gru_layers > 2:
+                net[1] = gru16(
+                    net[1],
+                    inp[1],
+                    pool2x(net[0]),
+                    interp_bilinear_align(net[2], net[1].shape[1:3]),
+                )
+            else:
+                net[1] = gru16(net[1], inp[1], pool2x(net[0]))
+        if iter08:
+            motion = BasicMotionEncoder(self.dtype, name="encoder")(flow, corr)
+            if self.n_gru_layers > 1:
+                net[0] = gru08(
+                    net[0],
+                    inp[0],
+                    motion,
+                    interp_bilinear_align(net[1], net[0].shape[1:3]),
+                )
+            else:
+                net[0] = gru08(net[0], inp[0], motion)
+
+        if not update:
+            return tuple(net)
+
+        delta_flow = FlowHead(256, 2, self.dtype, name="flow_head")(net[0])
+        factor = 2**self.n_downsample
+        mask = nn.relu(conv(256, 3, 1, 1, self.dtype, name="mask_conv1")(net[0]))
+        mask = conv(factor**2 * 9, 1, 1, 0, self.dtype, name="mask_conv2")(mask)
+        mask = 0.25 * mask  # gradient balancing, core/update.py:137
+        return tuple(net), mask, delta_flow

@@ -64,19 +64,26 @@ def avg_pool2d(
     stride: tuple[int, int],
     padding: tuple[int, int] = (0, 0),
 ) -> jnp.ndarray:
-    """torch-style average pool over NHWC, count_include_pad=True."""
+    """torch-style average pool over NHWC, count_include_pad=True.
+
+    Implemented as a depthwise convolution with a constant 1/(kh·kw) kernel
+    rather than ``lax.reduce_window``: reduce_window's linearization fails
+    inside ``lax.scan`` bodies (JAX 0.9 issue hit by our GRU update scan),
+    while the conv path differentiates everywhere and maps well to TPU.
+    """
     kh, kw = window
     sh, sw = stride
     ph, pw = padding
-    summed = jax.lax.reduce_window(
+    C = x.shape[-1]
+    kernel = jnp.full((kh, kw, 1, C), 1.0 / (kh * kw), x.dtype)
+    return jax.lax.conv_general_dilated(
         x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+        kernel,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
     )
-    return summed / jnp.asarray(kh * kw, x.dtype)
 
 
 def pool2x(x: jnp.ndarray) -> jnp.ndarray:
