@@ -1,0 +1,65 @@
+"""Benchmark: RAFT-Stereo inference throughput at 736×1280 on one chip.
+
+Mirrors the reference's KITTI FPS protocol (tools/evaluate_stereo.py:128-133,
+168-170): ``valid_iters=32`` GRU iterations, batch 1, warm-up excluded.
+Target: ≥ 5 frames/s/chip at 736×1280 (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+
+    cfg = RAFTStereoConfig()  # bf16 compute, fp32 correlation — eval policy
+    model = RAFTStereo(cfg, iters=32, test_mode=True)
+
+    B, H, W = 1, 736, 1280
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((B, 64, 64, 3)), jnp.zeros((B, 64, 64, 3)))
+
+    @jax.jit
+    def forward(params, img1, img2):
+        _, disp = model.apply(params, img1, img2)
+        return disp
+
+    # warm-up (compile + first runs; np.asarray forces a real device sync —
+    # block_until_ready alone does not reliably sync through the axon tunnel)
+    for _ in range(2):
+        np.asarray(forward(params, img1, img2))
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = forward(params, img1, img2)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+
+    baseline_fps = 5.0  # BASELINE.md throughput target
+    print(
+        json.dumps(
+            {
+                "metric": "raft_stereo_fps_736x1280_iters32",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers (the reference's entire parallelism story is
+single-process ``nn.DataParallel``, tools/ft_dkt.py:119-125 — see SURVEY.md
+§2.7 for the mapping).
+
+TPU-native model:
+  - a 1-D ``Mesh(('data',))`` over all chips (optionally 2-D
+    ``('data','spatial')`` for H-dim sharding of very large images — stereo
+    correlation is row-local so the corr kernel needs no halo exchange);
+  - batches sharded over 'data' with NamedSharding; params/state replicated;
+  - gradient all-reduce is inserted by XLA when the jitted train step closes
+    over sharded inputs — no explicit collectives in model code;
+  - multi-host via ``jax.distributed.initialize()`` + per-host data loading.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        # fill trailing axes greedily; default: all devices on the first axis
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """device_put a pytree of (B, ...) arrays with B sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh (params, optimizer state)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bring-up (DCN): thin wrapper over jax.distributed.initialize.
+
+    No-op when running single-process (the common case on one host/slice)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -1,0 +1,141 @@
+"""The DKT teacher–student fine-tuning step, fully jitted.
+
+One compiled function per step reproduces tools/ft_dkt.py:177-248:
+  1. EMA teacher ← lerp(EMA, student) (:179-181, before the forwards),
+  2. frozen teacher + EMA teacher predict pseudo-labels on the *clean* image
+     pair at ``teacher_iters``, test mode, no grad (:191-201),
+  3. F&E on GT (withprob + clamp) and on PL (plain) (:204-210),
+  4. student forward on the augmented pair at ``train_iters`` (:223),
+  5. loss = loss_GT + pl_weight·loss_PL (:227-234), grads, global-norm clip,
+     AdamW + OneCycle step (:242-248).
+
+The reference's "``loss is None`` → skip step" guard (:235-237, and the
+NaN/Inf early-returns in the loss) becomes a jit-safe ``ok`` flag: when not
+ok, the parameter/optimizer updates are discarded wholesale, which leaves the
+state exactly as the reference's ``continue`` would.
+
+Data parallelism: this function is pure; jit it with sharded batch inputs
+(see parallel/mesh.py) and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dkt_stereo_tpu.dkt.ema import ema_update
+from dkt_stereo_tpu.dkt.fande import fande_ensemble, fande_filter
+from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
+from dkt_stereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
+from dkt_stereo_tpu.train.state import DKTHyperParams, DKTTrainState, make_optimizer
+
+
+def create_dkt_state(
+    cfg: RAFTStereoConfig,
+    hyper: DKTHyperParams,
+    rng: jax.Array,
+    sample_shape: tuple[int, int, int],
+    params=None,
+    teacher_params=None,
+) -> DKTTrainState:
+    """Initialize (or adopt restored) params; EMA starts as a copy of the
+    student and the frozen teacher defaults to the same weights
+    (ft_dkt.py:139-150: student/EMA/teacher all from restore_ckpt)."""
+    B, H, W = sample_shape
+    model = RAFTStereo(cfg, iters=2, test_mode=False)
+    if params is None:
+        dummy = jnp.zeros((B, H, W, 3), jnp.float32)
+        params = model.init(rng, dummy, dummy)
+    if teacher_params is None:
+        teacher_params = params
+    tx, _ = make_optimizer(hyper)
+    return DKTTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=params,
+        teacher_params=teacher_params,
+        opt_state=tx.init(params),
+    )
+
+
+def make_dkt_train_step(cfg: RAFTStereoConfig, hyper: DKTHyperParams):
+    """Returns jitted ``step_fn(state, batch, key) -> (state, metrics)``.
+
+    ``batch``: dict with img1/img2/img1_clean/img2_clean (B,H,W,3 in [0,255]),
+    flow (B,H,W, negative disparity), valid (B,H,W in {0,1})."""
+    student = RAFTStereo(cfg, iters=hyper.train_iters, test_mode=False)
+    teacher = RAFTStereo(cfg, iters=hyper.teacher_iters, test_mode=True)
+    tx, schedule = make_optimizer(hyper)
+
+    def step_fn(state: DKTTrainState, batch: dict, key: jax.Array):
+        k_fgt, k_egt, k_fpl, k_epl = jax.random.split(key, 4)
+
+        # 1. EMA update (pre-forward, ft_dkt.py:179)
+        ema_params = ema_update(state.ema_params, state.params, hyper.ema_decay)
+
+        # 2. teacher pseudo-labels on clean images (no grad)
+        _, disp_pl = teacher.apply(state.teacher_params, batch["img1_clean"], batch["img2_clean"])
+        _, disp_ema = teacher.apply(ema_params, batch["img1_clean"], batch["img2_clean"])
+        disp_pl = jax.lax.stop_gradient(disp_pl)
+        disp_ema = jax.lax.stop_gradient(disp_ema)
+        valid_pl = jnp.ones_like(disp_pl)
+
+        # 3. F&E
+        disp_gt, valid_gt = batch["flow"], batch["valid"]
+        gt_aug, valid_gt_aug = fande_filter(
+            disp_gt, disp_ema, valid_gt, k_fgt, withprob=True, threshold=hyper.tau_gt
+        )
+        gt_aug = fande_ensemble(
+            gt_aug, disp_ema, valid_gt_aug, k_egt, clamp=hyper.clamp, threshold=hyper.tau_gt
+        )
+        pl_aug, valid_pl_aug = fande_filter(
+            disp_pl, disp_ema, valid_pl, k_fpl, withprob=False, threshold=hyper.tau_pl
+        )
+        pl_aug = fande_ensemble(
+            pl_aug, disp_ema, valid_pl_aug, k_epl, clamp=False, threshold=hyper.tau_pl
+        )
+
+        # 4./5. student forward + combined loss
+        def loss_fn(params):
+            out = student.apply(params, batch["img1"], batch["img2"])
+            preds = out["disp_preds"]
+            loss_gt, metrics, _, ok_gt = sequence_loss_raft(preds, gt_aug, valid_gt_aug)
+            loss_pl, _, _, ok_pl = sequence_loss_raft(preds, pl_aug, valid_pl_aug)
+            loss = loss_gt + hyper.pl_weight * loss_pl
+            return loss, (metrics, ok_gt & ok_pl, loss_gt, loss_pl)
+
+        (loss, (metrics, ok, loss_gt, loss_pl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+
+        def pick(new, old):
+            return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+        new_params = pick(new_params, state.params)
+        opt_state = pick(opt_state, state.opt_state)
+
+        metrics = dict(metrics)
+        metrics.update(
+            loss=loss,
+            loss_GT=loss_gt,
+            loss_PL=loss_pl,
+            ok=ok.astype(jnp.float32),
+            learning_rate=schedule(state.step),
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn)

@@ -1,0 +1,65 @@
+"""Train state + optimizer for the DKT fine-tune loop.
+
+Optimizer parity (tools/ft_dkt.py:56-63): AdamW(lr, wdecay 1e-5, eps 1e-8) +
+OneCycleLR(max_lr, num_steps+100, pct_start 0.01, linear anneal). Torch's
+two-phase linear OneCycle is rebuilt with joined linear schedules
+(initial lr = max/25, final = max/25/1e4 — torch defaults), and gradient
+clipping to global-norm 1.0 (ft_dkt.py:244) is part of the chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class DKTHyperParams:
+    """CLI defaults from tools/ft_dkt.py:312-344."""
+
+    lr: float = 2e-4
+    wdecay: float = 1e-5
+    num_steps: int = 200_000
+    train_iters: int = 16
+    valid_iters: int = 32
+    teacher_iters: int = 32  # hardcoded at ft_dkt.py:193,199
+    ema_decay: float = 0.99999
+    tau_gt: float = 3.0
+    tau_pl: float = 3.0
+    clamp: float = 1.0
+    pl_weight: float = 1.0  # ft_dkt.py:234 "loss_PL * 1.0"
+    cascade_train: bool = False
+
+
+def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.01):
+    """torch OneCycleLR(anneal_strategy='linear', three_phase=False) clone."""
+    warm = max(int(round(pct_start * total_steps)), 1)
+    up = optax.linear_schedule(max_lr / 25.0, max_lr, warm)
+    down = optax.linear_schedule(max_lr, max_lr / 25.0 / 1e4, total_steps - warm)
+    return optax.join_schedules([up, down], [warm])
+
+
+def make_optimizer(hyper: DKTHyperParams):
+    schedule = onecycle_linear(hyper.lr, hyper.num_steps + 100)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=hyper.wdecay),
+    )
+    return tx, schedule
+
+
+class DKTTrainState(struct.PyTreeNode):
+    """Student params + EMA teacher + frozen teacher + optimizer state.
+
+    The frozen teacher (restore_ckpt_T, ft_dkt.py:144-151) never changes; the
+    EMA teacher lerps toward the student every step (:179-181)."""
+
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any
+    teacher_params: Any
+    opt_state: Any

@@ -1,0 +1,163 @@
+"""DKT layer: F&E golden tests vs torch reference math; EMA; full train step."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from dkt_stereo_tpu.dkt import ema_update, fande_ensemble, fande_filter
+from dkt_stereo_tpu.models import RAFTStereoConfig
+from dkt_stereo_tpu.train import DKTHyperParams, create_dkt_state, make_dkt_train_step
+from dkt_stereo_tpu.train.state import onecycle_linear
+
+
+def torch_fande_filter(source, target, valid, withprob, threshold, prob_vals=None):
+    """FandE/__init__.py:24-39 recomputed (prob injected for determinism)."""
+    valid_consistent = (torch.sum((target - source) ** 2, dim=1).sqrt() < threshold)
+    valid_consistent = valid_consistent.unsqueeze(1) * valid
+    source = source * valid
+    if withprob:
+        num_vc = valid_consistent.flatten(1).sum(dim=-1, keepdim=True)
+        num_v = valid.flatten(1).sum(dim=-1, keepdim=True)
+        pt = num_vc / num_v
+        prob = prob_vals
+        sel = (prob < pt).unsqueeze(-1).unsqueeze(-1)
+        sel = sel * (1 - valid_consistent) * valid
+        aug_valid = (valid_consistent + (1 - valid_consistent) * sel) * valid
+    else:
+        aug_valid = valid_consistent
+    return source * aug_valid, aug_valid.squeeze(1)
+
+
+def torch_fande_ensemble(source, target, valid, clamp, threshold, prob):
+    valid_consistent = (torch.sum((target - source) ** 2, dim=1).sqrt() < threshold)
+    valid_consistent = valid_consistent.unsqueeze(1) * valid
+    source = source * valid
+    target = target * valid
+    offset = torch.sum((source - target) ** 2, dim=1).sqrt().unsqueeze(1)
+    offset = prob * offset
+    if clamp:
+        offset = torch.clamp(offset, max=clamp)
+    direction = torch.zeros_like(source)
+    direction[source < target] = +1.0
+    direction[source > target] = -1.0
+    aug = direction * offset * valid_consistent
+    return (source + aug) * valid
+
+
+def test_fande_filter_plain_matches_torch(rng):
+    B, H, W = 2, 8, 10
+    src = rng.standard_normal((B, H, W)).astype(np.float32) * 5
+    tgt = rng.standard_normal((B, H, W)).astype(np.float32) * 5
+    valid = (rng.uniform(size=(B, H, W)) > 0.3).astype(np.float32)
+    out, v = fande_filter(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid), jax.random.PRNGKey(0),
+        withprob=False, threshold=3.0,
+    )
+    t_out, t_v = torch_fande_filter(
+        torch.from_numpy(src).unsqueeze(1),
+        torch.from_numpy(tgt).unsqueeze(1),
+        torch.from_numpy(valid).unsqueeze(1),
+        False, 3.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), t_out.squeeze(1).numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), t_v.numpy(), atol=1e-6)
+
+
+def test_fande_filter_withprob_branches(rng):
+    # extreme keys force the Bernoulli both ways; check both behaviors
+    B, H, W = 1, 6, 6
+    src = np.zeros((B, H, W), np.float32)
+    tgt = np.full((B, H, W), 10.0, np.float32)  # all inconsistent (|t-s|=10>3)
+    tgt[0, :3] = 0.0  # top half consistent
+    valid = np.ones((B, H, W), np.float32)
+    # p = 18/36 = 0.5. If u < 0.5 → inconsistent pixels re-admitted.
+    for key_int in range(6):
+        out, v = fande_filter(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid),
+            jax.random.PRNGKey(key_int), withprob=True, threshold=3.0,
+        )
+        v = np.asarray(v)
+        # consistent half always kept
+        assert (v[0, :3] == 1).all()
+        # inconsistent half: all-or-nothing per image
+        assert (v[0, 3:] == v[0, 3, 0]).all()
+
+
+def test_fande_ensemble_matches_torch(rng):
+    B, H, W = 2, 8, 10
+    src = (rng.standard_normal((B, H, W)) * 4).astype(np.float32)
+    tgt = (rng.standard_normal((B, H, W)) * 4).astype(np.float32)
+    valid = (rng.uniform(size=(B, H, W)) > 0.2).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    prob = float(jax.random.uniform(key, ()))
+    for clamp in (False, 1.0):
+        out = fande_ensemble(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid), key,
+            clamp=clamp, threshold=3.0,
+        )
+        t_out = torch_fande_ensemble(
+            torch.from_numpy(src).unsqueeze(1),
+            torch.from_numpy(tgt).unsqueeze(1),
+            torch.from_numpy(valid).unsqueeze(1),
+            clamp, 3.0, prob,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), t_out.squeeze(1).numpy(), atol=1e-5, err_msg=f"clamp={clamp}"
+        )
+
+
+def test_ema_update():
+    t = {"a": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    s = {"a": jnp.zeros((3,)), "b": jnp.ones((2,))}
+    out = ema_update(t, s, 0.9)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.9)
+    np.testing.assert_allclose(np.asarray(out["b"]), 0.1)
+
+
+def test_onecycle_schedule_matches_torch():
+    torch_model = torch.nn.Linear(1, 1)
+    opt = torch.optim.AdamW(torch_model.parameters(), lr=2e-4)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, 2e-4, total_steps=1100, pct_start=0.01, cycle_momentum=False,
+        anneal_strategy="linear",
+    )
+    ours = onecycle_linear(2e-4, 1100, 0.01)
+    torch_lrs, our_lrs = [], []
+    for i in range(0, 1100, 100):
+        torch_lrs.append(sched.get_last_lr()[0])
+        our_lrs.append(float(ours(i)))
+        for _ in range(100):
+            opt.step()
+            sched.step()
+    np.testing.assert_allclose(our_lrs, torch_lrs, rtol=0.05)
+
+
+def test_dkt_train_step_end_to_end(rng):
+    cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance")
+    hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100)
+    B, H, W = 1, 32, 64
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W))
+    batch = {
+        "img1": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img1_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "flow": jnp.asarray(-rng.uniform(0, 20, (B, H, W)).astype(np.float32)),
+        "valid": jnp.ones((B, H, W), jnp.float32),
+    }
+    step_fn = make_dkt_train_step(cfg, hyper)
+    state1, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(state1.step) == 1
+    assert float(metrics["ok"]) == 1.0
+    assert np.isfinite(float(metrics["loss"]))
+    # params changed, EMA barely moved (decay 0.99999), teacher untouched
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    t0 = jax.tree_util.tree_leaves(state.teacher_params)[0]
+    t1 = jax.tree_util.tree_leaves(state1.teacher_params)[0]
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # second step runs from updated state
+    state2, metrics2 = step_fn(state1, batch, jax.random.PRNGKey(2))
+    assert int(state2.step) == 2
