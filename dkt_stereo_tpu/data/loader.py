@@ -1,0 +1,122 @@
+"""Host-side batch loader: threaded prefetch, per-host sharding, NHWC stacks.
+
+Replaces torch ``DataLoader(num_workers=16, shuffle, drop_last, pin_memory)``
+(core/stereo_datasets.py:537-538) with a torch-free pipeline designed for the
+TPU ingest path:
+
+  - worker threads decode/augment (cv2/PIL drop the GIL for the heavy parts),
+  - each worker owns a seeded ``numpy.random.Generator`` — deterministic,
+    non-overlapping augmentation streams (the property the reference gets
+    from per-worker seeding at core/stereo_datasets.py:70-76),
+  - per-host sharding for multi-host DP: each host draws only its slice of
+    every global batch (same global shuffle via the shared epoch seed), so
+    ``batch_size`` here is the GLOBAL batch; the host materializes B/num_hosts
+    rows which the caller device_puts onto its local mesh slice,
+  - a bounded prefetch queue overlaps augmentation with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class StereoLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        seed: int = 1234,
+        prefetch: int = 4,
+        num_hosts: int = 1,
+        host_id: int = 0,
+    ):
+        assert batch_size % num_hosts == 0, "global batch must divide across hosts"
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch = batch_size // num_hosts
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        nb = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        job_q: "queue.Queue" = queue.Queue()
+
+        # batch b, local rows [host_id*local : (host_id+1)*local]
+        for b in range(nb):
+            chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            local = chunk[self.host_id * self.local_batch : (self.host_id + 1) * self.local_batch]
+            job_q.put((b, local))
+
+        results: dict[int, dict] = {}
+        results_lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker(wid: int):
+            rng = np.random.default_rng(
+                (self.seed, self.epoch, self.host_id, wid)
+            )
+            while not stop.is_set():
+                try:
+                    b, local = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset.get_sample(int(i), rng) for i in local]
+                batch = {
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
+                }
+                with results_lock:
+                    results[b] = batch
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        try:
+            next_b = 0
+            while next_b < nb:
+                with results_lock:
+                    batch = results.pop(next_b, None)
+                if batch is None:
+                    if not any(t.is_alive() for t in threads) and job_q.empty():
+                        with results_lock:
+                            batch = results.pop(next_b, None)
+                        if batch is None:
+                            raise RuntimeError("loader workers died")
+                    else:
+                        threading.Event().wait(0.005)
+                        continue
+                yield batch
+                next_b += 1
+        finally:
+            stop.set()
+        self.epoch += 1

@@ -33,6 +33,7 @@ import flax.linen as nn
 from dkt_stereo_tpu.nn.blocks import BasicEncoder, MultiBasicEncoder, ResidualBlock, conv
 from dkt_stereo_tpu.nn.gru import BasicMultiUpdateBlock
 from dkt_stereo_tpu.ops.corr import corr_lookup, corr_pyramid, corr_volume
+from dkt_stereo_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align
 from dkt_stereo_tpu.ops.sampler import coords_grid_x
 from dkt_stereo_tpu.ops.upsample import convex_upsample
@@ -54,6 +55,10 @@ class RAFTStereoConfig:
     n_gru_layers: int = 3
     hidden_dims: Tuple[int, ...] = (128, 128, 128)
     mixed_precision: bool = True
+    # TPU extension (not in the reference config): dtype of the stored
+    # correlation pyramid. "bfloat16" halves volume HBM traffic (lookup
+    # interpolation stays fp32); "float32" gives exact reference parity.
+    corr_dtype: str = "bfloat16"
 
     @property
     def compute_dtype(self):
@@ -80,7 +85,13 @@ class _IterStep(nn.Module):
         dt = cfg.compute_dtype
 
         coords1x = jax.lax.stop_gradient(coords1x)
-        corr = corr_lookup(list(pyramid), coords1x, cfg.corr_radius)
+        if cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas"):
+            # fused Pallas kernel (TPU analogue of the reference's CUDA
+            # corr_sampler, core/corr.py:17-29); interpret-mode off-TPU
+            interpret = jax.default_backend() == "cpu"
+            corr = corr_lookup_pallas(tuple(pyramid), coords1x, cfg.corr_radius, interpret)
+        else:
+            corr = corr_lookup(list(pyramid), coords1x, cfg.corr_radius)
         flow_x = coords1x - coords0x
         flow2 = jnp.concatenate([flow_x, jnp.zeros_like(flow_x)], axis=-1)
 
@@ -177,10 +188,11 @@ class RAFTStereo(nn.Module):
             inp.append(tuple(jnp.split(z, 3, axis=-1)))
         inp = tuple(inp)
 
-        fmap1 = fmap1.astype(jnp.float32)
-        fmap2 = fmap2.astype(jnp.float32)
+        corr_dt = jnp.bfloat16 if cfg.corr_dtype == "bfloat16" else jnp.float32
+        fmap1 = fmap1.astype(corr_dt)
+        fmap2 = fmap2.astype(corr_dt)
         cosine = cfg.corr_implementation in ("cosine", "mix_fmap_image")
-        volume = corr_volume(fmap1, fmap2, normalize=cosine)
+        volume = corr_volume(fmap1, fmap2, normalize=cosine, out_dtype=corr_dt)
         pyramid = tuple(corr_pyramid(volume, cfg.corr_levels))
 
         B, Hc, Wc, _ = fmap1.shape

@@ -27,29 +27,37 @@ from dkt_stereo_tpu.ops.sampler import sample_row_1d
 
 
 def corr_volume(
-    fmap1: jnp.ndarray, fmap2: jnp.ndarray, normalize: bool = False
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    normalize: bool = False,
+    out_dtype=None,
 ) -> jnp.ndarray:
-    """(B,H,W1,D),(B,H,W2,D) → (B,H,W1,W2) fp32 correlation volume.
+    """(B,H,W1,D),(B,H,W2,D) → (B,H,W1,W2) correlation volume, fp32 accumulation.
 
     ``normalize=True`` gives the cosine variant (core/corr.py:198-209):
     features L2-normalized over D, no 1/sqrt(D) scaling, values in [-1, 1].
+
+    Precision policy: fp32 inputs get HIGHEST (exact parity with the
+    reference's fp32 matmul, raft_stereo.py:116); bf16 inputs use the MXU's
+    native bf16×bf16→fp32 path (the TPU fast path — pass bf16 features +
+    ``out_dtype=jnp.bfloat16`` to halve volume HBM traffic).
     """
     D = fmap1.shape[-1]
-    f1 = fmap1.astype(jnp.float32)
-    f2 = fmap2.astype(jnp.float32)
+    f1, f2 = fmap1, fmap2
     if normalize:
-        f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
-        f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
+        f1 = (f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1, keepdims=True)).astype(f1.dtype)
+        f2 = (f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1, keepdims=True)).astype(f2.dtype)
+    precision = jax.lax.Precision.HIGHEST if f1.dtype == jnp.float32 else None
     corr = jnp.einsum(
         "bhid,bhjd->bhij",
         f1,
         f2,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     if not normalize:
         corr = corr / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    return corr
+    return corr.astype(out_dtype) if out_dtype is not None else corr
 
 
 def corr_pyramid(volume: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:

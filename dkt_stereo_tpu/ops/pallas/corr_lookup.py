@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused correlation-pyramid lookup (+ custom VJP).
+
+TPU-native replacement for the reference's CUDA ``corr_sampler`` extension
+(core/corr.py:17-29, config "reg_cuda") and the hot-path pyramid lookup of
+``CorrBlock1D.__call__`` (core/corr.py:127-146).
+
+Why a kernel: the XLA formulation is a per-pixel 2-tap gather into HBM —
+random access over a ~70-140 MB volume every GRU iteration. Here each grid
+program streams a block of volume *rows* into VMEM once and extracts all
+``levels × (2r+1)`` taps with vectorized VPU arithmetic, no gathers at all:
+
+    tap weight over the row is  w_j = relu(1 − |j − pos|)
+    sampled value             = Σ_j vol[w1, j] · w_j
+
+which reproduces 1-D bilinear interpolation with zero padding *exactly*
+(out-of-range pos ⇒ all w_j = 0; pos ∈ (−1, 0] ⇒ only j=0 contributes with
+weight 1+pos — identical to grid_sample zero-padding semantics).
+
+Backward: the reference's CUDA sampler returns gradients only for the volume
+(core/corr.py:25-29) and RAFT detaches lookup coords every iteration
+(raft_stereo.py:153), so the VJP computes d/d(volume) by the transposed
+weighting (a scatter-free outer product per tap) and zero for coords.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_rows(g: int) -> int:
+    for r in (8, 4, 2):
+        if g % r == 0:
+            return r
+    return 1
+
+
+def _fwd_kernel(coords_ref, *refs, radius: int, num_levels: int):
+    out_ref = refs[-1]
+    vol_refs = refs[:-1]
+    R, W1 = coords_ref.shape
+    taps = 2 * radius + 1
+
+    outs = []
+    for i in range(num_levels):
+        vol = vol_refs[i][...].astype(jnp.float32)  # (R, W1, W2_i)
+        W2 = vol.shape[-1]
+        j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, W2), 2)
+        x = coords_ref[...].astype(jnp.float32) / (2**i)  # (R, W1)
+        for k in range(taps):
+            pos = x[..., None] + (k - radius)  # (R, W1, 1)
+            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+            outs.append(jnp.sum(vol * w, axis=-1))  # (R, W1)
+    out_ref[...] = jnp.stack(outs, axis=-1)  # (R, W1, L*taps)
+
+
+def _bwd_kernel(coords_ref, g_ref, *dvol_refs, radius: int, num_levels: int):
+    R, W1 = coords_ref.shape
+    taps = 2 * radius + 1
+    g = g_ref[...].astype(jnp.float32)  # (R, W1, L*taps)
+
+    for i in range(num_levels):
+        W2 = dvol_refs[i].shape[-1]
+        j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, W2), 2)
+        x = coords_ref[...].astype(jnp.float32) / (2**i)
+        acc = jnp.zeros((R, W1, W2), jnp.float32)
+        for k in range(taps):
+            pos = x[..., None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+            acc = acc + g[..., i * taps + k : i * taps + k + 1] * w
+        dvol_refs[i][...] = acc.astype(dvol_refs[i].dtype)
+
+
+def _lookup_fwd_impl(pyramid, coords, radius, interpret):
+    num_levels = len(pyramid)
+    B, H, W1, _ = pyramid[0].shape
+    G = B * H
+    R = _pick_rows(G)
+    taps = 2 * radius + 1
+
+    coords2 = coords.reshape(G, W1)
+    vols = [v.reshape(G, W1, v.shape[-1]) for v in pyramid]
+
+    kernel = functools.partial(_fwd_kernel, radius=radius, num_levels=num_levels)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // R,),
+        in_specs=[pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec((R, W1, v.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            for v in vols
+        ],
+        out_specs=pl.BlockSpec(
+            (R, W1, num_levels * taps), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, W1, num_levels * taps), jnp.float32),
+        interpret=interpret,
+    )(coords2, *vols)
+    return out.reshape(B, H, W1, num_levels * taps)
+
+
+def _lookup_bwd_impl(pyramid_shapes, coords, g, radius, interpret):
+    num_levels = len(pyramid_shapes)
+    B, H, W1, _ = pyramid_shapes[0].shape
+    G = B * H
+    R = _pick_rows(G)
+    taps = 2 * radius + 1
+
+    coords2 = coords.reshape(G, W1)
+    g2 = g.reshape(G, W1, num_levels * taps)
+
+    kernel = functools.partial(_bwd_kernel, radius=radius, num_levels=num_levels)
+    dvols = pl.pallas_call(
+        kernel,
+        grid=(G // R,),
+        in_specs=[
+            pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, W1, num_levels * taps), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, W1, s.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            for s in pyramid_shapes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, W1, s.shape[-1]), s.dtype) for s in pyramid_shapes
+        ],
+        interpret=interpret,
+    )(coords2, g2)
+    return tuple(d.reshape(s.shape) for d, s in zip(dvols, pyramid_shapes))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def corr_lookup_pallas(pyramid, coords_x, radius: int = 4, interpret: bool = False):
+    """Fused pyramid lookup. ``pyramid``: tuple of (B,H,W1,W2_i) (fp32 or
+    bf16); ``coords_x``: (B,H,W1,1) fp32. Returns (B,H,W1,L*(2r+1)) fp32,
+    channel order identical to ops.corr.corr_lookup."""
+    return _lookup_fwd_impl(pyramid, coords_x[..., 0], radius, interpret)
+
+
+def _vjp_fwd(pyramid, coords_x, radius, interpret):
+    out = _lookup_fwd_impl(pyramid, coords_x[..., 0], radius, interpret)
+    shapes = tuple(jax.ShapeDtypeStruct(v.shape, v.dtype) for v in pyramid)
+    return out, (shapes, coords_x)
+
+
+def _vjp_bwd(radius, interpret, res, g):
+    shapes, coords_x = res
+    dvols = _lookup_bwd_impl(shapes, coords_x[..., 0], g, radius, interpret)
+    return dvols, jnp.zeros_like(coords_x)
+
+
+corr_lookup_pallas.defvjp(_vjp_fwd, _vjp_bwd)

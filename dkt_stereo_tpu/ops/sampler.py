@@ -86,14 +86,16 @@ def sample_row_1d(rows: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     so the y-tap is trivial).
     """
     S = rows.shape[-1]
+    x = x.astype(jnp.float32)
     x0 = jnp.floor(x)
-    w = (x - x0).astype(rows.dtype)
+    w = x - x0
 
     def tap(ix):
         inb = (ix >= 0) & (ix <= S - 1)
         ixc = jnp.clip(ix, 0, S - 1).astype(jnp.int32)
         vals = jnp.take_along_axis(rows, ixc, axis=-1)
-        return vals * inb.astype(rows.dtype)
+        # interpolation always in fp32 (rows may be a bf16 volume)
+        return vals.astype(jnp.float32) * inb.astype(jnp.float32)
 
     return tap(x0) * (1 - w) + tap(x0 + 1) * w
 

@@ -1,0 +1,84 @@
+"""Pallas corr-lookup kernel (interpret mode on CPU) vs the XLA reference op."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dkt_stereo_tpu.ops import corr_lookup, corr_pyramid, corr_volume
+from dkt_stereo_tpu.ops.pallas import corr_lookup_pallas
+
+
+def _setup(rng, B=1, H=8, W=32, D=16):
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, D)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, D)).astype(np.float32))
+    vol = corr_volume(f1, f2)
+    pyr = tuple(corr_pyramid(vol, 4))
+    coords = jnp.asarray(rng.uniform(-2, W + 2, (B, H, W, 1)).astype(np.float32))
+    return pyr, coords
+
+
+def test_pallas_lookup_matches_xla(rng):
+    pyr, coords = _setup(rng)
+    want = np.asarray(corr_lookup(list(pyr), coords, 4))
+    got = np.asarray(corr_lookup_pallas(pyr, coords, 4, True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_lookup_bf16_pyramid(rng):
+    pyr, coords = _setup(rng)
+    pyr_bf = tuple(v.astype(jnp.bfloat16) for v in pyr)
+    want = np.asarray(corr_lookup(list(pyr_bf), coords, 4))
+    got = np.asarray(corr_lookup_pallas(pyr_bf, coords, 4, True))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_pallas_lookup_vjp_matches_xla(rng):
+    pyr, coords = _setup(rng, H=4, W=16)
+
+    def f_xla(pyr):
+        return (corr_lookup(list(pyr), coords, 4) ** 2).sum()
+
+    def f_pl(pyr):
+        return (corr_lookup_pallas(pyr, coords, 4, True) ** 2).sum()
+
+    g_xla = jax.grad(f_xla)(pyr)
+    g_pl = jax.grad(f_pl)(pyr)
+    for a, b in zip(g_pl, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_pallas_lookup_integer_coords_exact(rng):
+    # integer positions must return exact volume entries (no interp blur)
+    pyr, _ = _setup(rng, H=4, W=16)
+    B, H, W, _ = pyr[0].shape
+    coords = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.float32)[None, None, :, None], (B, H, W, 1)
+    )
+    out = np.asarray(corr_lookup_pallas(pyr, coords, 4, True))
+    # level 0, center tap (k=radius) == vol[b,h,w,w]
+    center = out[..., 4]
+    vol = np.asarray(pyr[0])
+    diag = np.einsum("bhww->bhw", vol)
+    np.testing.assert_allclose(center, diag, atol=1e-5)
+
+
+def test_model_with_pallas_corr_matches_reg(rng):
+    # full model consistency: "reg_cuda" (pallas, interpret on CPU) == "reg"
+    from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+
+    B, H, W = 1, 32, 64
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    cfg_reg = RAFTStereoConfig(
+        mixed_precision=False, context_norm="instance", corr_dtype="float32"
+    )
+    cfg_pl = RAFTStereoConfig(
+        mixed_precision=False, context_norm="instance", corr_dtype="float32",
+        corr_implementation="reg_cuda",
+    )
+    model_reg = RAFTStereo(cfg_reg, iters=2, test_mode=True)
+    model_pl = RAFTStereo(cfg_pl, iters=2, test_mode=True)
+    params = model_reg.init(jax.random.PRNGKey(0), img1, img2)
+    _, d_reg = model_reg.apply(params, img1, img2)
+    _, d_pl = model_pl.apply(params, img1, img2)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_reg), atol=1e-3)
