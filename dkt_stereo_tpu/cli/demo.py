@@ -1,0 +1,74 @@
+"""Demo: run stereo inference over image globs → colormapped PNG (+ .npy).
+
+Rebuild of tools/demo.py:23-52.
+
+  python -m dkt_stereo_tpu.cli.demo --config configs/raft_stereo/base.json \
+      --restore_ckpt ckpt.pth -l 'left/*.png' -r 'right/*.png' -o out/
+"""
+
+from __future__ import annotations
+
+import argparse
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--restore_ckpt", required=True)
+    p.add_argument("-l", "--left_imgs", required=True)
+    p.add_argument("-r", "--right_imgs", required=True)
+    p.add_argument("-o", "--output_directory", default="demo_output")
+    p.add_argument("--valid_iters", type=int, default=32)
+    p.add_argument("--save_numpy", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from dkt_stereo_tpu.cli.config import load_model_config
+    from dkt_stereo_tpu.data.readers import read_image_rgb
+    from dkt_stereo_tpu.eval.validate import make_forward_fn, _run_one
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.train.checkpoint import import_reference_pth, restore_checkpoint
+    from dkt_stereo_tpu.utils.visualization import disp_to_color
+
+    config = load_model_config(args.config)
+    model_cls, cfg_cls, _ = get_model(config["model"])
+    cfg = cfg_cls.from_dict(config)
+    model = model_cls(cfg, iters=args.valid_iters, test_mode=True)
+    dummy = jnp.zeros((1, 64, 64, 3))
+    template = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    if args.restore_ckpt.endswith(".pth"):
+        params = jax.tree_util.tree_map(jnp.asarray, import_reference_pth(args.restore_ckpt, template))
+    else:
+        params = restore_checkpoint(args.restore_ckpt, template)
+    fwd = make_forward_fn(model_cls, cfg, params, iters=args.valid_iters)
+
+    out_dir = Path(args.output_directory)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    lefts = sorted(glob(args.left_imgs))
+    rights = sorted(glob(args.right_imgs))
+    for lp, rp in zip(lefts, rights):
+        img1 = read_image_rgb(lp).astype(np.float32)
+        img2 = read_image_rgb(rp).astype(np.float32)
+        disp, _ = _run_one(fwd, img1, img2, 32)
+        disp = -disp  # negative-flow convention → positive disparity
+        stem = Path(lp).stem
+        if args.save_numpy:
+            np.save(out_dir / f"{stem}.npy", disp)
+        rgb, _ = disp_to_color(disp)
+        Image.fromarray(rgb[0].transpose(1, 2, 0).astype(np.uint8)).save(out_dir / f"{stem}.png")
+        print(f"{lp} -> {out_dir / (stem + '.png')}")
+
+
+if __name__ == "__main__":
+    main()

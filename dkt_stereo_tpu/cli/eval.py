@@ -1,0 +1,85 @@
+"""Evaluation CLI (rebuild of tools/evaluate_stereo.py __main__, :339-404).
+
+  python -m dkt_stereo_tpu.cli.eval --config configs/raft_stereo/base.json \
+      --restore_ckpt ckpt.pth --datasets eth3d kitti-2015 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--restore_ckpt", required=True)
+    p.add_argument("--valid_iters", type=int, default=32)
+    p.add_argument("--divide_factor", type=int, default=32)
+    p.add_argument(
+        "--datasets",
+        nargs="+",
+        default=["eth3d", "middlebury-H", "kitti-2012", "kitti-2015", "booster-Q"],
+    )
+    p.add_argument("--data_root", default="data")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.cli.config import load_model_config
+    from dkt_stereo_tpu.eval.validate import (
+        make_forward_fn,
+        validate_booster,
+        validate_eth3d,
+        validate_kitti,
+        validate_middlebury,
+        validate_things,
+    )
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.train.checkpoint import import_reference_pth, restore_checkpoint
+
+    config = load_model_config(args.config)
+    model_cls, cfg_cls, _ = get_model(config["model"])
+    cfg = cfg_cls.from_dict(config)
+
+    model = model_cls(cfg, iters=args.valid_iters, test_mode=True)
+    dummy = jnp.zeros((1, 64, 64, 3))
+    template = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    if args.restore_ckpt.endswith(".pth"):
+        params = jax.tree_util.tree_map(
+            jnp.asarray, import_reference_pth(args.restore_ckpt, template)
+        )
+    else:
+        params = restore_checkpoint(args.restore_ckpt, template)
+
+    fwd = make_forward_fn(model_cls, cfg, params, iters=args.valid_iters)
+    results = {}
+    for name in args.datasets:
+        if name == "eth3d":
+            results.update(validate_eth3d(fwd, f"{args.data_root}/ETH3D", args.divide_factor))
+        elif name.startswith("middlebury"):
+            res = name.split("-")[1] if "-" in name else "H"
+            results.update(validate_middlebury(fwd, res, f"{args.data_root}/Middlebury", divide_factor=args.divide_factor))
+        elif name.startswith("kitti"):
+            split = name.split("-")[1] if "-" in name else "2015"
+            results.update(validate_kitti(fwd, split, f"{args.data_root}/KITTI", divide_factor=args.divide_factor))
+        elif name.startswith("booster"):
+            res = name.split("-")[1] if "-" in name else "Q"
+            results.update(validate_booster(fwd, res, f"{args.data_root}/Booster_dataset", divide_factor=args.divide_factor))
+        elif name == "things":
+            results.update(validate_things(fwd, f"{args.data_root}/sceneflow", divide_factor=args.divide_factor))
+        else:
+            raise ValueError(name)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""DKT fine-tuning driver (rebuild of tools/ft_dkt.py as a TPU program).
+
+Usage mirrors the reference:
+  python -m dkt_stereo_tpu.cli.train --config configs/raft_stereo/base.json \
+      --train_datasets booster --restore_ckpt <ckpt or .pth> ...
+
+TPU-native structure: one jitted step (EMA + teachers + F&E + student +
+optimizer, train/dkt_step.py) over a data-parallel mesh; the host loop only
+feeds sharded batches, logs, validates, and checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    # tools/ft_dkt.py:312-344 flags
+    p.add_argument("--config", required=True)
+    p.add_argument("--name", default="model")
+    p.add_argument("--save_dir", default="runs/debug")
+    p.add_argument("--restore_ckpt", default=None)
+    p.add_argument("--restore_ckpt_T", default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--train_datasets", nargs="+", default=["sceneflow"])
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--num_steps", type=int, default=200000)
+    p.add_argument("--image_size", type=int, nargs="+", default=[320, 720])
+    p.add_argument("--train_iters", type=int, default=16)
+    p.add_argument("--wdecay", type=float, default=1e-5)
+    p.add_argument("--cascade_train", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.99999)
+    p.add_argument("--clamp", type=float, default=1.0)
+    p.add_argument("--tau_gt", type=float, default=3.0)
+    p.add_argument("--tau_pl", type=float, default=3.0)
+    p.add_argument("--valid_iters", type=int, default=32)
+    p.add_argument("--img_gamma", type=float, nargs="+", default=None)
+    p.add_argument("--saturation_range", type=float, nargs="+", default=[0, 1.4])
+    p.add_argument("--do_flip", default=False, choices=["h", "v", False])
+    p.add_argument("--spatial_scale", type=float, nargs="+", default=[-0.2, 0.4])
+    p.add_argument("--noyjitter", action="store_true")
+    # TPU-specific
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--num_workers", type=int, default=16)
+    p.add_argument("--validation_frequency", type=int, default=1000)
+    return p.parse_args(argv)
+
+
+def train(args) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.cli.config import load_model_config, merge_config
+    from dkt_stereo_tpu.data.datasets import fetch_dataset
+    from dkt_stereo_tpu.data.loader import StereoLoader
+    from dkt_stereo_tpu.eval.validate import (
+        make_forward_fn,
+        validate_booster,
+        validate_eth3d,
+        validate_kitti,
+        validate_middlebury,
+    )
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.parallel import make_mesh, replicate, shard_batch
+    from dkt_stereo_tpu.train import DKTHyperParams, create_dkt_state, make_dkt_train_step
+    from dkt_stereo_tpu.train.checkpoint import (
+        import_reference_pth,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from dkt_stereo_tpu.train.state import onecycle_linear
+    from dkt_stereo_tpu.utils.logging import Logger
+
+    config = load_model_config(args.config)
+    model_cls, cfg_cls, _loss = get_model(config["model"])
+    cfg = cfg_cls.from_dict(config)
+
+    hyper = DKTHyperParams(
+        lr=args.lr,
+        wdecay=args.wdecay,
+        num_steps=args.num_steps,
+        train_iters=args.train_iters,
+        valid_iters=args.valid_iters,
+        ema_decay=args.ema_decay,
+        tau_gt=args.tau_gt,
+        tau_pl=args.tau_pl,
+        clamp=args.clamp,
+        cascade_train=args.cascade_train,
+    )
+
+    num_hosts = jax.process_count()
+    host_id = jax.process_index()
+    mesh = make_mesh()
+
+    dataset = fetch_dataset(
+        args.train_datasets,
+        tuple(args.image_size),
+        tuple(args.spatial_scale),
+        args.saturation_range,
+        args.img_gamma,
+        args.do_flip,
+        args.noyjitter,
+        data_root=args.data_root,
+    )
+    loader = StereoLoader(
+        dataset,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        seed=args.seed,
+        num_hosts=num_hosts,
+        host_id=host_id,
+    )
+
+    H, W = args.image_size
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(args.seed), (args.batch_size, H, W))
+
+    if args.restore_ckpt:
+        if args.restore_ckpt.endswith(".pth"):
+            variables = import_reference_pth(args.restore_ckpt, state.params)
+            variables = jax.tree_util.tree_map(jnp.asarray, variables)
+            teacher = variables
+            if args.restore_ckpt_T and args.restore_ckpt_T != args.restore_ckpt:
+                teacher = jax.tree_util.tree_map(
+                    jnp.asarray, import_reference_pth(args.restore_ckpt_T, state.params)
+                )
+            state = state.replace(params=variables, ema_params=variables, teacher_params=teacher)
+        else:
+            state = restore_checkpoint(args.restore_ckpt, state)
+
+    state = replicate(state, mesh)
+    step_fn = make_dkt_train_step(cfg, hyper)
+    schedule = onecycle_linear(hyper.lr, hyper.num_steps + 100)
+
+    save_dir = Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    cur = {"step": int(state.step)}
+    lg = Logger(str(save_dir), get_lr=lambda: float(schedule(cur["step"])))
+
+    key = jax.random.PRNGKey(args.seed + host_id)
+    total_steps = int(state.step)
+    logging.info("training %s for %d steps on %d devices", config["model"], args.num_steps, len(jax.devices()))
+
+    while total_steps <= args.num_steps:
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, shard_batch(batch, mesh), sub)
+            total_steps += 1
+            cur["step"] = total_steps
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            lg.writer.add_scalar("live_loss", host_metrics["loss"], total_steps)
+            lg.writer.add_scalar("learning_rate", host_metrics["learning_rate"], total_steps)
+            lg.push({k: host_metrics[k] for k in ("epe", "1px", "3px", "5px", "loss") if k in host_metrics})
+
+            if total_steps % args.validation_frequency == args.validation_frequency - 1 and host_id == 0:
+                path = save_checkpoint(str(save_dir), state, total_steps + 1)
+                logging.info("saved %s", path)
+                fwd = make_forward_fn(model_cls, cfg, state.params, iters=args.valid_iters)
+                results = {}
+                for fn, kw in (
+                    (validate_eth3d, dict(data_root=f"{args.data_root}/ETH3D")),
+                    (validate_middlebury, dict(resolution="H", data_root=f"{args.data_root}/Middlebury")),
+                    (validate_kitti, dict(split="2012", data_root=f"{args.data_root}/KITTI")),
+                    (validate_kitti, dict(split="2015", data_root=f"{args.data_root}/KITTI")),
+                    (validate_booster, dict(resolution="Q", data_root=f"{args.data_root}/Booster_dataset")),
+                ):
+                    try:
+                        results.update(fn(fwd, **kw))
+                    except Exception as e:  # dataset absent on this machine
+                        logging.warning("validation %s skipped: %s", fn.__name__, e)
+                lg.write_dict(results)
+
+            if total_steps > args.num_steps:
+                break
+
+    final = save_checkpoint(str(save_dir), state)
+    logging.info("FINISHED TRAINING -> %s", final)
+    lg.close()
+    return final
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)-8s [%(filename)s:%(lineno)d] %(message)s",
+    )
+    train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

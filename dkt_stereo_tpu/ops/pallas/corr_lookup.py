@@ -49,7 +49,8 @@ def _fwd_kernel(coords_ref, *refs, radius: int, num_levels: int):
     for i in range(num_levels):
         vol = vol_refs[i][...].astype(jnp.float32)  # (R, W1, W2_i)
         W2 = vol.shape[-1]
-        j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, W2), 2)
+        # Mosaic requires integer iota; cast to f32 after
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W2), 2).astype(jnp.float32)
         x = coords_ref[...].astype(jnp.float32) / (2**i)  # (R, W1)
         for k in range(taps):
             pos = x[..., None] + (k - radius)  # (R, W1, 1)
@@ -65,7 +66,7 @@ def _bwd_kernel(coords_ref, g_ref, *dvol_refs, radius: int, num_levels: int):
 
     for i in range(num_levels):
         W2 = dvol_refs[i].shape[-1]
-        j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, W2), 2)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W2), 2).astype(jnp.float32)
         x = coords_ref[...].astype(jnp.float32) / (2**i)
         acc = jnp.zeros((R, W1, W2), jnp.float32)
         for k in range(taps):
