@@ -7,6 +7,9 @@ to (module class, config class, loss fn).
 
 from dkt_stereo_tpu.models.registry import get_model, register_model, MODELS
 from dkt_stereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
+from dkt_stereo_tpu.models.gwcnet import GWCNet, GWCNetConfig
 from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
+from dkt_stereo_tpu.losses.gwc import loss_gwcnet
 
 register_model("RAFTStereo", RAFTStereo, RAFTStereoConfig, sequence_loss_raft)
+register_model("GWCNet", GWCNet, GWCNetConfig, loss_gwcnet)

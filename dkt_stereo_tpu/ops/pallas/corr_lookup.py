@@ -33,9 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_rows(g: int) -> int:
-    for r in (8, 4, 2):
-        if g % r == 0:
-            return r
+    # one (b,h) volume-row group per grid program: W1×ΣW2 f32 temps per tap
+    # already stress the ~16MB VMEM scoped limit (R=8 OOMs at 52MB on v5e)
     return 1
 
 

@@ -91,6 +91,67 @@ def pool2x(x: jnp.ndarray) -> jnp.ndarray:
     return avg_pool2d(x, (3, 3), (2, 2), (1, 1))
 
 
+def _halfpix_interp_matrix(dst: int, src: int, dtype=np.float32) -> np.ndarray:
+    """(dst, src) matrix for align_corners=False (half-pixel) linear resize —
+    torch F.interpolate default semantics (edge-clamped)."""
+    if src == 1:
+        return np.ones((dst, 1), dtype=dtype)
+    scale = src / dst
+    pos = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    w = pos - lo
+    lo0 = np.clip(lo, 0, src - 1)
+    lo1 = np.clip(lo + 1, 0, src - 1)
+    m = np.zeros((dst, src), dtype=dtype)
+    np.add.at(m, (np.arange(dst), lo0), (1.0 - w).astype(dtype))
+    np.add.at(m, (np.arange(dst), lo1), w.astype(dtype))
+    return m
+
+
+def interp_trilinear_halfpix(x: jnp.ndarray, out_dhw: tuple[int, int, int]) -> jnp.ndarray:
+    """Trilinear align_corners=False resize of NDHWC ``x`` — matches torch
+    ``F.interpolate(mode='trilinear')`` (GWCNet cost upsample,
+    gwc_main.py:248-263). Three separable matmuls."""
+    _, D, H, W, _ = x.shape
+    Do, Ho, Wo = out_dhw
+    hi = jax.lax.Precision.HIGHEST
+    y = x
+    if Do != D:
+        M = jnp.asarray(_halfpix_interp_matrix(Do, D), x.dtype)
+        y = jnp.einsum("od,bdhwc->bohwc", M, y, precision=hi)
+    if Ho != H:
+        M = jnp.asarray(_halfpix_interp_matrix(Ho, H), x.dtype)
+        y = jnp.einsum("oh,bdhwc->bdowc", M, y, precision=hi)
+    if Wo != W:
+        M = jnp.asarray(_halfpix_interp_matrix(Wo, W), x.dtype)
+        y = jnp.einsum("ow,bdhwc->bdhoc", M, y, precision=hi)
+    return y
+
+
+def interp_bilinear_halfpix(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear align_corners=False resize of NHWC ``x`` (torch default)."""
+    _, H, W, _ = x.shape
+    Ho, Wo = out_hw
+    hi = jax.lax.Precision.HIGHEST
+    y = x
+    if Ho != H:
+        M = jnp.asarray(_halfpix_interp_matrix(Ho, H), x.dtype)
+        y = jnp.einsum("oh,bhwc->bowc", M, y, precision=hi)
+    if Wo != W:
+        M = jnp.asarray(_halfpix_interp_matrix(Wo, W), x.dtype)
+        y = jnp.einsum("ow,bhwc->bhoc", M, y, precision=hi)
+    return y
+
+
+def interp_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize (torch F.interpolate mode='nearest': floor(i*src/dst))."""
+    _, H, W, _ = x.shape
+    Ho, Wo = out_hw
+    ri = (np.arange(Ho) * H // Ho).astype(np.int32)
+    ci = (np.arange(Wo) * W // Wo).astype(np.int32)
+    return x[:, ri][:, :, ci]
+
+
 def pool4x(x: jnp.ndarray) -> jnp.ndarray:
     """5x5 stride-4 pad-1 average pool (core/update.py:90-91)."""
     return avg_pool2d(x, (5, 5), (4, 4), (1, 1))

@@ -23,41 +23,61 @@ from typing import Any
 import numpy as np
 
 
-def _map_torch_key(tokens: list[str]) -> list[str]:
-    """Map reference module-path tokens to flax scope tokens (no leaf)."""
-    out: list[str] = []
-    i = 0
-    if tokens[0] == "update_block":
-        out += ["step", "update_block"]
-        i = 1
-    while i < len(tokens):
-        t = tokens[i]
-        if re.fullmatch(r"outputs(08|16|32)", t):
-            idx = tokens[i + 1]
-            head = f"{t}_{idx}"
-            if t == "outputs32":
-                out.append(head)
-                i += 2
+# Regex rewrites from torch module paths to flax scope paths. Where a torch
+# name is ambiguous across models (e.g. ``downsample.1`` is ``norm3`` in the
+# RAFT ResidualBlock but ``downsample_bn`` in the PSM BasicBlock) the rule
+# yields ``A|B`` alternatives resolved against the template tree.
+_NAME_RULES: list[tuple[str, str]] = [
+    # RAFT-Stereo (core/extractor.py, core/update.py, raft_stereo.py)
+    (r"^update_block\.", "step.update_block."),
+    (r"outputs(08|16)\.(\d+)\.0\.", r"outputs\1_\2.res."),
+    (r"outputs(08|16)\.(\d+)\.1\.", r"outputs\1_\2.conv."),
+    (r"outputs32\.(\d+)\.", r"outputs32_\1."),
+    (r"context_zqr_convs\.(\d+)\.", r"context_zqr_convs_\1."),
+    (r"mask\.0\.", "mask_conv1."),
+    (r"mask\.2\.", "mask_conv2."),
+    # GWCNet (gwcnet/gwc_main.py, submodules.py)
+    (r"firstconv\.(\d+)\.0\.", lambda m: f"firstconv_{int(m.group(1)) // 2}.conv."),
+    (r"firstconv\.(\d+)\.1\.", lambda m: f"firstconv_{int(m.group(1)) // 2}.bn."),
+    (r"lastconv\.0\.0\.", "lastconv_0.conv."),
+    (r"lastconv\.0\.1\.", "lastconv_0.bn."),
+    (r"lastconv\.2\.", "lastconv_1."),
+    (r"(dres[01])\.(\d+)\.0\.", lambda m: f"{m.group(1)}_{int(m.group(2)) // 2}.conv."),
+    (r"(dres[01])\.(\d+)\.1\.", lambda m: f"{m.group(1)}_{int(m.group(2)) // 2}.bn."),
+    (r"(conv[1-4])\.0\.0\.", r"\1.conv."),  # hourglass convbn_3d in Sequential
+    (r"(conv[1-4])\.0\.1\.", r"\1.bn."),
+    (r"(conv[56])\.0\.", r"\1_deconv."),
+    (r"(conv[56])\.1\.", r"\1_bn."),
+    (r"(redir[12])\.0\.", r"\1.conv."),
+    (r"(redir[12])\.1\.", r"\1.bn."),
+    (r"(classif\d)\.0\.0\.", r"\1.0.conv."),
+    (r"(classif\d)\.0\.1\.", r"\1.0.bn."),
+    (r"(classif\d)\.2\.", r"\1.1."),
+    (r"(conv[12])\.0\.", r"\1.conv."),  # PSM BasicBlock convbn (after 3D rules)
+    (r"(conv[12])\.1\.", r"\1.bn."),
+    (r"(layer\d)\.(\d+)\.", r"\1_\2.|\1.\2."),  # PSM flat vs RAFT nested stages
+    # shared / ambiguous
+    (r"downsample\.0\.", "downsample_conv."),
+    (r"downsample\.1\.", "norm3.|downsample_bn."),
+]
+
+
+def _map_candidates(key: str) -> list[list[str]]:
+    """Apply rules; '|' in replacements fans out into alternative paths."""
+    keys = [key]
+    for pat, repl in _NAME_RULES:
+        next_keys = []
+        for k in keys:
+            if not re.search(pat, k):
+                next_keys.append(k)
+                continue
+            if isinstance(repl, str) and "|" in repl:
+                for alt in repl.split("|"):
+                    next_keys.append(re.sub(pat, alt, k))
             else:
-                sub = tokens[i + 2]
-                out += [head, "res" if sub == "0" else "conv"]
-                i += 3
-            continue
-        if t == "context_zqr_convs":
-            out.append(f"context_zqr_convs_{tokens[i + 1]}")
-            i += 2
-            continue
-        if t == "downsample":
-            out.append("downsample_conv" if tokens[i + 1] == "0" else "norm3")
-            i += 2
-            continue
-        if t == "mask":
-            out.append({"0": "mask_conv1", "2": "mask_conv2"}[tokens[i + 1]])
-            i += 2
-            continue
-        out.append(t)
-        i += 1
-    return out
+                next_keys.append(re.sub(pat, repl, k))
+        keys = next_keys
+    return [k.split(".") for k in keys]
 
 
 def _get(tree: dict, path: list[str]):
@@ -96,40 +116,24 @@ def import_reference_pth(path_or_state, template_vars: dict) -> dict:
 
     for key, tensor in state.items():
         key = key.removeprefix("module.")
-        *mods, leaf = key.split(".")
-        if leaf == "num_batches_tracked":
+        if key.endswith("num_batches_tracked"):
             continue
-        scope = _map_torch_key(mods)
         arr = np.asarray(tensor.detach().cpu().numpy())
 
-        if leaf == "weight" and arr.ndim == 4:
-            path = ["params", *scope, "kernel"]
-            arr = arr.transpose(2, 3, 1, 0)
-        elif leaf in ("weight", "bias") and arr.ndim == 1:
-            # norm affine or conv bias — disambiguate via the template
-            norm_scope = _norm_scope(template_vars.get("params", {}), scope)
-            if norm_scope is not None and leaf == "weight":
-                path = ["params", *norm_scope, "scale"]
-            elif norm_scope is not None and _get(template_vars["params"], scope + ["bias"]) is None:
-                path = ["params", *norm_scope, "bias"]
-            else:
-                path = ["params", *scope, "bias"]
-        elif leaf == "running_mean":
-            norm_scope = _norm_scope(template_vars.get("batch_stats", {}), scope)
-            path = ["batch_stats", *(norm_scope or scope), "mean"]
-        elif leaf == "running_var":
-            norm_scope = _norm_scope(template_vars.get("batch_stats", {}), scope)
-            path = ["batch_stats", *(norm_scope or scope), "var"]
-        else:
+        placed = False
+        for tokens in _map_candidates(key):
+            *scope, leaf = tokens
+            path, value = _resolve_leaf(template_vars, scope, leaf, arr)
+            if path is None:
+                continue
+            target = _get(template_vars, path)
+            assert target.shape == value.shape, (key, path, target.shape, value.shape)
+            _set(out, path, value.astype(np.asarray(target).dtype))
+            placed = True
+            break
+        if not placed:
             skipped.append(key)
             continue
-
-        target = _get(template_vars, path)
-        if target is None:
-            skipped.append(key)
-            continue
-        assert target.shape == arr.shape, (key, target.shape, arr.shape)
-        _set(out, path, arr.astype(np.asarray(target).dtype))
         filled += 1
 
     if skipped:
@@ -148,6 +152,33 @@ def import_reference_pth(path_or_state, template_vars: dict) -> dict:
     if missing:
         raise ValueError(f"template leaves not filled from checkpoint: {missing[:10]}")
     return out
+
+
+def _resolve_leaf(template_vars: dict, scope: list[str], leaf: str, arr: np.ndarray):
+    """Return (flax path, transformed array) for one torch tensor, or
+    (None, None) when the candidate scope doesn't exist in the template."""
+    if leaf == "weight" and arr.ndim == 4:  # Conv2d OIHW → HWIO
+        path = ["params", *scope, "kernel"]
+        return (path, arr.transpose(2, 3, 1, 0)) if _get(template_vars, path) is not None else (None, None)
+    if leaf == "weight" and arr.ndim == 5:  # Conv3d OIDHW → DHWIO; and
+        # ConvTranspose3d IO(DHW) → our (k,k,k,O,I): same permutation
+        path = ["params", *scope, "kernel"]
+        return (path, arr.transpose(2, 3, 4, 1, 0)) if _get(template_vars, path) is not None else (None, None)
+    if leaf == "weight" and arr.ndim == 2:  # Linear (O,I) → (I,O)
+        path = ["params", *scope, "kernel"]
+        return (path, arr.T) if _get(template_vars, path) is not None else (None, None)
+    if leaf in ("weight", "bias") and arr.ndim == 1:
+        norm_scope = _norm_scope(template_vars.get("params", {}), scope)
+        if norm_scope is not None:
+            path = ["params", *norm_scope, "scale" if leaf == "weight" else "bias"]
+        else:
+            path = ["params", *scope, "bias"]
+        return (path, arr) if _get(template_vars, path) is not None else (None, None)
+    if leaf in ("running_mean", "running_var"):
+        norm_scope = _norm_scope(template_vars.get("batch_stats", {}), scope)
+        path = ["batch_stats", *(norm_scope or scope), "mean" if leaf == "running_mean" else "var"]
+        return (path, arr) if _get(template_vars, path) is not None else (None, None)
+    return None, None
 
 
 def _norm_scope(tree: dict, scope: list[str]):
