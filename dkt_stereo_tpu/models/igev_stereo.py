@@ -1,0 +1,233 @@
+"""IGEV-Stereo, TPU-native.
+
+Rebuild of meta_arch/igev_stereo/igev_stereo.py:91-226 — and **registered**
+in the model zoo (the reference's meta_arch/__init__.py:7-12 forgot it;
+SURVEY.md §7 known bugs).
+
+Structure: MobileNetV2 features + stems (frozen via ``stop_gradient`` during
+fine-tune, matching the ``torch.no_grad()`` at :157-168) → 8-group GWC
+volume over 96-d descriptors → corr_stem + FeatureAtt + IGEV hourglass with
+per-scale attention → geometry encoding volume (8ch) → init disparity by
+soft-argmin → ConvGRU iterations over the combined geo lookup (``nn.scan``)
+→ superpixel context upsample ×4. Outputs negated (−disp), per the
+reference's convention (:216, :222).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dkt_stereo_tpu.nn.blocks import MultiBasicEncoder, conv
+from dkt_stereo_tpu.nn.igev_blocks import (
+    BasicConvIGEV,
+    Conv2xIGEV,
+    ConvTransposeTorch,
+    FeatureAtt,
+    HourglassIGEV,
+    IGEVFeature,
+)
+from dkt_stereo_tpu.nn.igev_update import BasicMultiUpdateBlockIGEV
+from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume
+from dkt_stereo_tpu.ops.upsample import context_upsample
+from dkt_stereo_tpu.ops.volumes import build_gwc_volume, disparity_regression
+
+
+@dataclasses.dataclass(frozen=True)
+class IGEVStereoConfig:
+    """configs/igev_stereo/base.json."""
+
+    corr_levels: int = 2
+    corr_radius: int = 4
+    n_downsample: int = 2
+    context_norm: str = "batch"
+    slow_fast_gru: bool = False
+    n_gru_layers: int = 3
+    hidden_dims: Tuple[int, ...] = (128, 128, 128)
+    max_disp: int = 192
+    mixed_precision: bool = True
+    freeze_backbone: bool = True  # torch.no_grad() trunk (igev_stereo.py:157)
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.mixed_precision else jnp.float32
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IGEVStereoConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items() if k in known}
+        return cls(**kw)
+
+
+class _IGEVIterStep(nn.Module):
+    cfg: IGEVStereoConfig
+    collect_up: bool
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        net, disp, _ = carry
+        geo_pyr_g, geo_pyr_c, inp, coords, stem_2x = consts
+
+        geo_fn = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
+        geo_fn.num_levels = cfg.corr_levels
+        geo_fn.radius = cfg.corr_radius
+        geo_fn.geo_pyramid = list(geo_pyr_g)
+        geo_fn.init_corr_pyramid = list(geo_pyr_c)
+
+        disp = jax.lax.stop_gradient(disp)
+        geo_feat = geo_fn(disp, coords)
+
+        block = BasicMultiUpdateBlockIGEV(cfg.n_gru_layers, cfg.hidden_dims, dt, name="update_block")
+        if cfg.n_gru_layers == 3 and cfg.slow_fast_gru:
+            net = block(net, inp, iter16=True, iter08=False, iter04=False, update=False)
+        if cfg.n_gru_layers >= 2 and cfg.slow_fast_gru:
+            net = block(net, inp, iter16=cfg.n_gru_layers == 3, iter08=True, iter04=False, update=False)
+        net, mask_feat_4, delta = block(
+            net, inp, geo_feat.astype(dt), disp.astype(dt),
+            iter16=cfg.n_gru_layers == 3, iter08=cfg.n_gru_layers >= 2,
+        )
+        disp = disp + delta.astype(jnp.float32)
+
+        # spx upsampling (igev_stereo.py:140-148), fp32 softmax
+        xspx = Conv2xIGEV(32, True, 2, True, True, "batch", True, True, dt, name="spx_2_gru")(mask_feat_4, stem_2x)
+        spx = ConvTransposeTorch(9, 2, 4, 2, 1, 0, True, dt, name="spx_gru_0")(xspx)
+        spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
+        disp_up = context_upsample(disp * 4.0, spx)  # (B, H, W)
+
+        new_carry = (net, disp, disp_up)
+        if self.collect_up:
+            return new_carry, -disp_up
+        return new_carry, jnp.zeros((), jnp.float32)
+
+
+class IGEVStereo(nn.Module):
+    """train: {"init_disp": (B,H,W), "disp_preds": (iters,B,H,W)} (negative);
+    test: (None, disp_up (B,H,W))."""
+
+    cfg: IGEVStereoConfig
+    iters: int = 12
+    test_mode: bool = False
+
+    @nn.compact
+    def __call__(self, image1, image2, flow_init: Optional[jnp.ndarray] = None):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        ura = True
+        D4 = cfg.max_disp // 4
+
+        x1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
+        x2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
+
+        feature = IGEVFeature(ura, dt, name="feature")
+        feats_l = feature(x1)
+        feats_r = feature(x2)
+
+        def _inorm_relu(y):
+            yf = y.astype(jnp.float32)
+            m = yf.mean(axis=(1, 2), keepdims=True)
+            v = ((yf - m) ** 2).mean(axis=(1, 2), keepdims=True)
+            return nn.relu(((yf - m) * jax.lax.rsqrt(v + 1e-5)).astype(dt))
+
+        # shared module instances applied to both views (weight sharing)
+        stem2_a = BasicConvIGEV(32, False, 2, "instance", True, 3, 2, 1, ura, dt, name="stem_2_0")
+        stem2_b = conv(32, 3, 1, 1, dt, name="stem_2_1", use_bias=False)
+        stem4_a = BasicConvIGEV(48, False, 2, "instance", True, 3, 2, 1, ura, dt, name="stem_4_0")
+        stem4_b = conv(48, 3, 1, 1, dt, name="stem_4_1", use_bias=False)
+        stem_2 = lambda x: _inorm_relu(stem2_b(stem2_a(x)))
+        stem_4 = lambda x: _inorm_relu(stem4_b(stem4_a(x)))
+
+        stem_2x = stem_2(x1)
+        stem_4x = stem_4(stem_2x)
+        stem_2y = stem_2(x2)
+        stem_4y = stem_4(stem_2y)
+        feats_l[0] = jnp.concatenate([feats_l[0], stem_4x], axis=-1)  # 96ch
+        feats_r[0] = jnp.concatenate([feats_r[0], stem_4y], axis=-1)
+
+        conv_m = BasicConvIGEV(96, False, 2, "instance", True, 3, 1, 1, ura, dt, name="conv")
+        desc_m = conv(96, 1, 1, 0, dt, name="desc")
+        match_l = desc_m(conv_m(feats_l[0]))
+        match_r = desc_m(conv_m(feats_r[0]))
+
+        if cfg.freeze_backbone and not self.test_mode:
+            # torch.no_grad() trunk during fine-tune (igev_stereo.py:157-168)
+            feats_l = [jax.lax.stop_gradient(f) for f in feats_l]
+            feats_r = [jax.lax.stop_gradient(f) for f in feats_r]
+            match_l = jax.lax.stop_gradient(match_l)
+            match_r = jax.lax.stop_gradient(match_r)
+            stem_2x = jax.lax.stop_gradient(stem_2x)
+
+        gwc = build_gwc_volume(match_l, match_r, D4, 8).astype(dt)  # (B,D4,H4,W4,8)
+        gwc = BasicConvIGEV(8, False, 3, None, False, 3, 1, 1, ura, dt, name="corr_stem")(gwc)
+        gwc = FeatureAtt(8, ura, dt, name="corr_feature_att")(gwc, feats_l[0])
+        geo_volume = HourglassIGEV(8, ura, dt, name="cost_agg")(gwc, feats_l)  # (B,D4,H4,W4,8)
+
+        logits = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                         dtype=dt, name="classifier")(geo_volume)[..., 0]  # (B,D4,H4,W4)
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+        init_disp = disparity_regression(prob.transpose(0, 2, 3, 1), D4)  # (B,H4,W4,1)
+
+        if not self.test_mode:
+            xspx = BasicConvIGEV(24, False, 2, "instance", True, 3, 1, 1, ura, dt, name="spx_4_0")(feats_l[0])
+            xspx = conv(24, 3, 1, 1, dt, name="spx_4_1", use_bias=False)(xspx)
+            xf = xspx.astype(jnp.float32)
+            m = xf.mean(axis=(1, 2), keepdims=True)
+            v = ((xf - m) ** 2).mean(axis=(1, 2), keepdims=True)
+            xspx = nn.relu(((xf - m) * jax.lax.rsqrt(v + 1e-5)).astype(dt))
+            xspx = Conv2xIGEV(32, True, 2, True, True, "instance", True, ura, dt, name="spx_2")(xspx, stem_2x)
+            spx_pred = ConvTransposeTorch(9, 2, 4, 2, 1, 0, True, dt, name="spx_0")(xspx)
+            spx_pred = jax.nn.softmax(spx_pred.astype(jnp.float32), axis=-1)
+
+        cnet = MultiBasicEncoder(
+            output_dim=(tuple(cfg.hidden_dims), tuple(cfg.hidden_dims)),
+            norm_fn=cfg.context_norm, downsample=cfg.n_downsample,
+            num_layers=cfg.n_gru_layers, dtype=dt, name="cnet",
+        )
+        cnet_list = cnet(x1)
+        net = tuple(jnp.tanh(o[0]) for o in cnet_list)
+        inp = []
+        for i, o in enumerate(cnet_list[: cfg.n_gru_layers]):
+            z = conv(cfg.hidden_dims[i] * 3, 3, 1, 1, dt, name=f"context_zqr_convs_{i}")(nn.relu(o[1]))
+            inp.append(tuple(jnp.split(z, 3, axis=-1)))
+        inp = tuple(inp)
+
+        geo_fn = CombinedGeoEncodingVolume(
+            match_l.astype(jnp.float32), match_r.astype(jnp.float32),
+            geo_volume.astype(jnp.float32),  # (B, D, H, W, C)
+            num_levels=cfg.corr_levels, radius=cfg.corr_radius,
+        )
+        B, Hc, Wc, _ = match_l.shape
+        coords = jnp.broadcast_to(
+            jnp.arange(Wc, dtype=jnp.float32)[None, None, :, None], (B, Hc, Wc, 1)
+        )
+
+        # NB the reference's forward takes flow_init but never uses it
+        # (igev_stereo.py:151); iterations always start from init_disp
+        disp = init_disp
+
+        collect = not self.test_mode
+        Scan = nn.scan(
+            _IGEVIterStep,
+            variable_broadcast=("params", "batch_stats"),
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=self.iters,
+        )
+        step = Scan(cfg, collect, name="step")
+        disp_up0 = jnp.zeros((B, Hc * 4, Wc * 4), jnp.float32)
+        (net, disp, disp_up), ys = step(
+            (net, disp, disp_up0),
+            (tuple(geo_fn.geo_pyramid), tuple(geo_fn.init_corr_pyramid), inp, coords, stem_2x),
+        )
+
+        if self.test_mode:
+            return None, -disp_up
+
+        init_up = -context_upsample(init_disp * 4.0, spx_pred)  # (B,H,W)
+        return {"init_disp": init_up, "disp_preds": ys}

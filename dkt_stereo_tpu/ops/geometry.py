@@ -1,0 +1,62 @@
+"""Combined geometry-encoding volume lookup (IGEV).
+
+Rebuild of meta_arch/igev_stereo/geometry.py:6-58: a dual pyramid —
+(a) the aggregated 8-channel geo volume sampled at ``disp/2^i ± r`` along the
+disparity axis, (b) the all-pairs init correlation sampled at
+``(coords − disp)/2^i ± r`` along the right-image width — concatenated per
+level as [geo (8·(2r+1)) ch, corr ((2r+1)) ch] → (B, H, W, L·(2r+1)·9).
+
+Pure-XLA formulation using the same zero-padded 1D linear interpolation as
+ops.corr; the channel ordering matches the reference's
+``(bhw, C, 1, K).view(b, h, w, -1)`` (C-major, taps fast).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dkt_stereo_tpu.ops.corr import corr_pyramid, corr_volume
+from dkt_stereo_tpu.ops.sampler import sample_row_1d
+
+
+def _sample_channel_rows(rows: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """rows (B,H,W,D,C), x (B,H,W,K) → (B,H,W,C·K) with C-major ordering."""
+    B, H, W, D, C = rows.shape
+    K = x.shape[-1]
+    # move channels in front of D: (B,H,W,C,D) then sample along D
+    r = rows.transpose(0, 1, 2, 4, 3)
+    out = sample_row_1d(r, x[:, :, :, None, :])  # (B,H,W,C,K)
+    return out.reshape(B, H, W, C * K)
+
+
+class CombinedGeoEncodingVolume:
+    """Functional port: construct once per forward, call per iteration."""
+
+    def __init__(self, fmap1, fmap2, geo_volume, num_levels=2, radius=4):
+        """fmap1/2: (B,H,W,D) descriptors; geo_volume: (B, Disp, H, W, C)
+        (this framework's NDHWC volume layout)."""
+        self.num_levels = num_levels
+        self.radius = radius
+        # init correlation (no 1/sqrt(D): geometry.py:62-69 omits the scale)
+        D = fmap1.shape[-1]
+        init_corr = corr_volume(fmap1, fmap2) * jnp.sqrt(jnp.asarray(D, jnp.float32))
+        self.init_corr_pyramid = corr_pyramid(init_corr, num_levels)
+
+        g = geo_volume.transpose(0, 2, 3, 4, 1)  # (B,H,W,C,Disp)
+        self.geo_pyramid = [g.transpose(0, 1, 2, 4, 3)]  # (B,H,W,Disp,C)
+        for _ in range(num_levels - 1):
+            d = g.shape[-1]
+            g = g[..., : (d // 2) * 2].reshape(*g.shape[:-1], d // 2, 2).mean(-1)
+            self.geo_pyramid.append(g.transpose(0, 1, 2, 4, 3))
+
+    def __call__(self, disp: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+        """disp, coords: (B,H,W,1) → (B,H,W, L·(2r+1)·(C+1)) fp32."""
+        r = self.radius
+        dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        out = []
+        for i in range(self.num_levels):
+            x_geo = disp.astype(jnp.float32) / (2**i) + dx  # (B,H,W,2r+1)
+            out.append(_sample_channel_rows(self.geo_pyramid[i], x_geo))
+            x_corr = (coords.astype(jnp.float32) - disp.astype(jnp.float32)) / (2**i) + dx
+            out.append(sample_row_1d(self.init_corr_pyramid[i], x_corr))
+        return jnp.concatenate(out, axis=-1)

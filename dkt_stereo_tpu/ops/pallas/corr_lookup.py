@@ -33,9 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_rows(g: int) -> int:
-    # one (b,h) volume-row group per grid program: W1×ΣW2 f32 temps per tap
-    # already stress the ~16MB VMEM scoped limit (R=8 OOMs at 52MB on v5e)
-    return 1
+    """Rows per grid program. Mosaic requires the block's second-to-last dim
+    divisible by 8 (or the full array), so use 8-row blocks and iterate rows
+    inside the kernel (full-array temps at R=8 OOM the 16MB VMEM limit)."""
+    return 8 if g % 8 == 0 else g
 
 
 def _fwd_kernel(coords_ref, *refs, radius: int, num_levels: int):
@@ -44,35 +45,37 @@ def _fwd_kernel(coords_ref, *refs, radius: int, num_levels: int):
     R, W1 = coords_ref.shape
     taps = 2 * radius + 1
 
-    outs = []
-    for i in range(num_levels):
-        vol = vol_refs[i][...].astype(jnp.float32)  # (R, W1, W2_i)
-        W2 = vol.shape[-1]
-        # Mosaic requires integer iota; cast to f32 after
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W2), 2).astype(jnp.float32)
-        x = coords_ref[...].astype(jnp.float32) / (2**i)  # (R, W1)
-        for k in range(taps):
-            pos = x[..., None] + (k - radius)  # (R, W1, 1)
-            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
-            outs.append(jnp.sum(vol * w, axis=-1))  # (R, W1)
-    out_ref[...] = jnp.stack(outs, axis=-1)  # (R, W1, L*taps)
+    for r in range(R):  # per-row: temps stay (W1, W2_i) ≈ 0.5 MB
+        outs = []
+        for i in range(num_levels):
+            vol = vol_refs[i][r].astype(jnp.float32)  # (W1, W2_i)
+            W2 = vol.shape[-1]
+            # Mosaic requires integer iota; cast to f32 after
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+            x = coords_ref[r].astype(jnp.float32) / (2**i)  # (W1,)
+            for k in range(taps):
+                pos = x[:, None] + (k - radius)  # (W1, 1)
+                w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+                outs.append(jnp.sum(vol * w, axis=-1))  # (W1,)
+        out_ref[r] = jnp.stack(outs, axis=-1)  # (W1, L*taps)
 
 
 def _bwd_kernel(coords_ref, g_ref, *dvol_refs, radius: int, num_levels: int):
     R, W1 = coords_ref.shape
     taps = 2 * radius + 1
-    g = g_ref[...].astype(jnp.float32)  # (R, W1, L*taps)
 
-    for i in range(num_levels):
-        W2 = dvol_refs[i].shape[-1]
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W2), 2).astype(jnp.float32)
-        x = coords_ref[...].astype(jnp.float32) / (2**i)
-        acc = jnp.zeros((R, W1, W2), jnp.float32)
-        for k in range(taps):
-            pos = x[..., None] + (k - radius)
-            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
-            acc = acc + g[..., i * taps + k : i * taps + k + 1] * w
-        dvol_refs[i][...] = acc.astype(dvol_refs[i].dtype)
+    for r in range(R):
+        g = g_ref[r].astype(jnp.float32)  # (W1, L*taps)
+        for i in range(num_levels):
+            W2 = dvol_refs[i].shape[-1]
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+            x = coords_ref[r].astype(jnp.float32) / (2**i)
+            acc = jnp.zeros((W1, W2), jnp.float32)
+            for k in range(taps):
+                pos = x[:, None] + (k - radius)
+                w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+                acc = acc + g[:, i * taps + k : i * taps + k + 1] * w
+            dvol_refs[i][r] = acc.astype(dvol_refs[i].dtype)
 
 
 def _lookup_fwd_impl(pyramid, coords, radius, interpret):
