@@ -23,19 +23,20 @@ def _unfold3x3(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(taps, axis=3)
 
 
-def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int) -> jnp.ndarray:
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int, scale: bool = True) -> jnp.ndarray:
     """RAFT convex upsampling (meta_arch/raft_stereo/raft_stereo.py:70-82).
 
     ``flow``: (B,H,W,D) coarse field; ``mask``: (B,H,W,9*factor²) logits with
     channel layout c = (k*factor + fy)*factor + fx (torch ``view(N,1,9,f,f)``).
-    Returns (B, H*factor, W*factor, D); values are scaled ×factor.
-    """
+    Returns (B, H*factor, W*factor, D); values scaled ×factor unless
+    ``scale=False`` (PCVNet upsamples mixture weights unscaled,
+    pcvnet/model.py:62-73)."""
     B, H, W, D = flow.shape
     f = factor
     m = mask.reshape(B, H, W, 9, f * f).astype(jnp.float32)
     m = jax.nn.softmax(m, axis=3)
 
-    nb = _unfold3x3(flow.astype(jnp.float32) * f)  # (B,H,W,9,D)
+    nb = _unfold3x3(flow.astype(jnp.float32) * (f if scale else 1))  # (B,H,W,9,D)
     # out[b,y,x,p,d] = sum_k m[b,y,x,k,p] * nb[b,y,x,k,d]  (p = fy*f+fx)
     out = jnp.einsum("bhwkp,bhwkd->bhwpd", m, nb, precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(B, H, W, f, f, D)
