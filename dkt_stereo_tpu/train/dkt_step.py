@@ -100,10 +100,31 @@ def make_dkt_train_step(cfg: RAFTStereoConfig, hyper: DKTHyperParams):
 
         # 4./5. student forward + combined loss
         def loss_fn(params):
-            out = student.apply(params, batch["img1"], batch["img2"])
+            flow_init = None
+            loss_dw2_gt = loss_dw2_pl = 0.0
+            if hyper.cascade_train:
+                # cascade pre-pass at half resolution (ft_dkt.py:213-219).
+                # NB the reference's cascade_train is dead code — its models
+                # reject the ``cascade`` kwarg and results_dw2['delta'] does
+                # not exist; this implements the intended semantics: coarse
+                # init from the half-res pass + 0.5-weighted half-res losses.
+                i1h = batch["img1"][:, ::2, ::2]
+                i2h = batch["img2"][:, ::2, ::2]
+                out_h = student.apply(params, i1h, i2h)
+                preds_h = out_h["disp_preds"]  # (N, B, H/2, W/2) half-res units
+                # init for the full-res 1/4 grid: spatial ::2, values /2
+                flow_init = jax.lax.stop_gradient(preds_h[-1][:, ::2, ::2] / 2.0)[..., None]
+                # half-res preds upsampled nearest x2 with x2 values (:218)
+                preds_h_up = 2.0 * jnp.repeat(jnp.repeat(preds_h, 2, axis=2), 2, axis=3)
+                loss_dw2_gt, _, _, _ = sequence_loss_raft(preds_h_up, gt_aug, valid_gt_aug)
+                loss_dw2_pl, _, _, _ = sequence_loss_raft(preds_h_up, pl_aug, valid_pl_aug)
+
+            out = student.apply(params, batch["img1"], batch["img2"], flow_init)
             preds = out["disp_preds"]
             loss_gt, metrics, _, ok_gt = sequence_loss_raft(preds, gt_aug, valid_gt_aug)
             loss_pl, _, _, ok_pl = sequence_loss_raft(preds, pl_aug, valid_pl_aug)
+            loss_gt = loss_gt + 0.5 * loss_dw2_gt  # (:229-233)
+            loss_pl = loss_pl + 0.5 * loss_dw2_pl
             loss = loss_gt + hyper.pl_weight * loss_pl
             return loss, (metrics, ok_gt & ok_pl, loss_gt, loss_pl)
 

@@ -161,3 +161,23 @@ def test_dkt_train_step_end_to_end(rng):
     # second step runs from updated state
     state2, metrics2 = step_fn(state1, batch, jax.random.PRNGKey(2))
     assert int(state2.step) == 2
+
+
+def test_dkt_train_step_cascade(rng):
+    cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance")
+    hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100, cascade_train=True)
+    B, H, W = 1, 32, 64
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W))
+    batch = {
+        "img1": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img1_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "flow": jnp.asarray(-rng.uniform(0, 20, (B, H, W)).astype(np.float32)),
+        "valid": jnp.ones((B, H, W), jnp.float32),
+    }
+    step_fn = make_dkt_train_step(cfg, hyper)
+    state1, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(state1.step) == 1
+    assert float(metrics["ok"]) == 1.0
+    assert np.isfinite(float(metrics["loss"]))
