@@ -51,6 +51,8 @@ class IGEVStereoConfig:
     max_disp: int = 192
     mixed_precision: bool = True
     freeze_backbone: bool = True  # torch.no_grad() trunk (igev_stereo.py:157)
+    # "reg" = XLA lookup; "reg_cuda"/"pallas" = fused Pallas geo-lookup kernel
+    corr_implementation: str = "reg"
 
     @property
     def compute_dtype(self):
@@ -74,14 +76,21 @@ class _IGEVIterStep(nn.Module):
         net, disp, _ = carry
         geo_pyr_g, geo_pyr_c, inp, coords, stem_2x = consts
 
-        geo_fn = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
-        geo_fn.num_levels = cfg.corr_levels
-        geo_fn.radius = cfg.corr_radius
-        geo_fn.geo_pyramid = list(geo_pyr_g)
-        geo_fn.init_corr_pyramid = list(geo_pyr_c)
-
         disp = jax.lax.stop_gradient(disp)
-        geo_feat = geo_fn(disp, coords)
+        if cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas"):
+            from dkt_stereo_tpu.ops.pallas.geo_lookup import geo_lookup_pallas
+
+            interpret = jax.default_backend() == "cpu"
+            geo_feat = geo_lookup_pallas(
+                tuple(geo_pyr_g), tuple(geo_pyr_c), disp, coords, cfg.corr_radius, interpret
+            )
+        else:
+            geo_fn = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
+            geo_fn.num_levels = cfg.corr_levels
+            geo_fn.radius = cfg.corr_radius
+            geo_fn.geo_pyramid = list(geo_pyr_g)
+            geo_fn.init_corr_pyramid = list(geo_pyr_c)
+            geo_feat = geo_fn(disp, coords)
 
         block = BasicMultiUpdateBlockIGEV(cfg.n_gru_layers, cfg.hidden_dims, dt, name="update_block")
         if cfg.n_gru_layers == 3 and cfg.slow_fast_gru:
