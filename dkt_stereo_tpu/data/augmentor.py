@@ -257,6 +257,30 @@ class SparseFlowAugmentorRTClean:
         )
 
 
+class FlowAugmentor(FlowAugmentorRTClean):
+    """Upstream RAFT-Stereo dense augmentor (core/utils/augmentor.py:61-183):
+    identical pipeline to the RTClean variant but without the clean outputs.
+    Returns (img1, img2, flow)."""
+
+    def __call__(self, img1, img2, flow):
+        _, _, img1, img2, flow = super().__call__(img1, img2, flow)
+        return img1, img2, flow
+
+
+class SparseFlowAugmentor(SparseFlowAugmentorRTClean):
+    """Upstream sparse augmentor (core/utils/augmentor.py:185-318): like the
+    RTClean sparse variant but with asymmetric color p=0.2 (vs 1.0, :202) and
+    no clean outputs. Returns (img1, img2, flow, valid)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.asymmetric_color_aug_prob = 0.2
+
+    def __call__(self, img1, img2, flow, valid):
+        _, _, img1, img2, flow, valid = super().__call__(img1, img2, flow, valid)
+        return img1, img2, flow, valid
+
+
 class CropAugmentor:
     """Crop-only augmentor (core/utils/augmentor.py:490-536)."""
 

@@ -193,6 +193,20 @@ class RAFTStereo(nn.Module):
         fmap2 = fmap2.astype(corr_dt)
         cosine = cfg.corr_implementation in ("cosine", "mix_fmap_image")
         volume = corr_volume(fmap1, fmap2, normalize=cosine, out_dtype=corr_dt)
+        if cfg.corr_implementation == "mix_fmap_image" and not self.test_mode:
+            # train-time mix of image-level and feature-level cosine volumes
+            # with one random blend weight per call (raft_stereo/corr.py:216-228,
+            # dispatch raft_stereo.py:133-142); test mode uses features only
+            _, H, W, _ = x1.shape
+            fi1 = interp_bilinear_align(x1.astype(corr_dt), (H // factor, W // factor))
+            fi2 = interp_bilinear_align(x2.astype(corr_dt), (H // factor, W // factor))
+            vol_img = corr_volume(fi1, fi2, normalize=True, out_dtype=corr_dt)
+            prob = (
+                jax.random.uniform(self.make_rng("mix"), ())
+                if self.has_rng("mix")
+                else jnp.float32(0.5)
+            )
+            volume = prob * vol_img + (1.0 - prob) * volume
         pyramid = tuple(corr_pyramid(volume, cfg.corr_levels))
 
         B, Hc, Wc, _ = fmap1.shape

@@ -22,15 +22,21 @@ import flax.linen as nn
 
 
 class InstanceNorm(nn.Module):
-    """Per-sample, per-channel normalization over H, W (no affine)."""
+    """Per-sample, per-channel normalization over H, W (no affine).
+
+    Statistics accumulate in fp32 but the elementwise math stays in the
+    input dtype — avoids materializing fp32 copies of full-resolution
+    bf16 activations (2× HBM traffic in the fnet stem otherwise)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        mean = x.mean(axis=(1, 2), keepdims=True)
-        var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        centered = x - mean.astype(x.dtype)
+        var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        scale = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        return centered * scale
 
 
 class Norm(nn.Module):
@@ -55,7 +61,7 @@ class Norm(nn.Module):
                 dtype=self.dtype,
             )(x)
         if self.norm_fn == "instance":
-            return InstanceNorm()(x.astype(jnp.float32)).astype(x.dtype)
+            return InstanceNorm()(x)
         if self.norm_fn == "none":
             return x
         raise ValueError(f"unknown norm_fn {self.norm_fn!r}")

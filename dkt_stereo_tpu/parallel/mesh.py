@@ -56,6 +56,21 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def cross_replica_batch_stats(mean, var, axis_name: str = "data"):
+    """Cross-replica BatchNorm statistics — the TPU equivalent of the
+    reference's ``_SyncBatchNorm`` affordance (meta_arch/igev_stereo/
+    submodule.py:262-331, defined but never called; BN is frozen in the DKT
+    fine-tune anyway). Call inside shard_map/pmap-style code when training BN
+    across the data axis: psum-averaged mean and unbiased-combined variance."""
+    import jax
+
+    n = jax.lax.psum(1.0, axis_name)
+    g_mean = jax.lax.psum(mean, axis_name) / n
+    # E[x²] combine: var_i + mean_i² averaged, minus global mean²
+    g_var = jax.lax.psum(var + mean**2, axis_name) / n - g_mean**2
+    return g_mean, g_var
+
+
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
     """Multi-host bring-up (DCN): thin wrapper over jax.distributed.initialize.
 
