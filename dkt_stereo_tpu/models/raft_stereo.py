@@ -32,7 +32,13 @@ import flax.linen as nn
 
 from dkt_stereo_tpu.nn.blocks import BasicEncoder, MultiBasicEncoder, ResidualBlock, conv
 from dkt_stereo_tpu.nn.gru import BasicMultiUpdateBlock
-from dkt_stereo_tpu.ops.corr import corr_lookup, corr_pyramid, corr_volume
+from dkt_stereo_tpu.ops.corr import (
+    corr_lookup,
+    corr_lookup_alt,
+    corr_pyramid,
+    corr_volume,
+    fmap_pyramid,
+)
 from dkt_stereo_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align
 from dkt_stereo_tpu.ops.sampler import coords_grid_x
@@ -81,7 +87,7 @@ class _IterStep(nn.Module):
     def __call__(self, carry, consts):
         cfg = self.cfg
         net, coords1x, _ = carry
-        pyramid, inp, coords0x = consts
+        pyramid, inp, coords0x, fmap1 = consts
         dt = cfg.compute_dtype
 
         coords1x = jax.lax.stop_gradient(coords1x)
@@ -90,6 +96,9 @@ class _IterStep(nn.Module):
             # corr_sampler, core/corr.py:17-29); interpret-mode off-TPU
             interpret = jax.default_backend() == "cpu"
             corr = corr_lookup_pallas(tuple(pyramid), coords1x, cfg.corr_radius, interpret)
+        elif cfg.corr_implementation == "alt":
+            # memory-efficient: recompute from the pooled feature pyramid
+            corr = corr_lookup_alt(fmap1, list(pyramid), coords1x, cfg.corr_radius)
         else:
             corr = corr_lookup(list(pyramid), coords1x, cfg.corr_radius)
         flow_x = coords1x - coords0x
@@ -192,7 +201,13 @@ class RAFTStereo(nn.Module):
         fmap1 = fmap1.astype(corr_dt)
         fmap2 = fmap2.astype(corr_dt)
         cosine = cfg.corr_implementation in ("cosine", "mix_fmap_image")
-        volume = corr_volume(fmap1, fmap2, normalize=cosine, out_dtype=corr_dt)
+        if cfg.corr_implementation == "alt":
+            # no volume materialization: the scan recomputes correlations
+            # on the fly from the pooled right-feature pyramid
+            pyramid = tuple(fmap_pyramid(fmap2.astype(jnp.float32), cfg.corr_levels))
+            volume = None
+        else:
+            volume = corr_volume(fmap1, fmap2, normalize=cosine, out_dtype=corr_dt)
         if cfg.corr_implementation == "mix_fmap_image" and not self.test_mode:
             # train-time mix of image-level and feature-level cosine volumes
             # with one random blend weight per call (raft_stereo/corr.py:216-228,
@@ -207,7 +222,8 @@ class RAFTStereo(nn.Module):
                 else jnp.float32(0.5)
             )
             volume = prob * vol_img + (1.0 - prob) * volume
-        pyramid = tuple(corr_pyramid(volume, cfg.corr_levels))
+        if volume is not None:
+            pyramid = tuple(corr_pyramid(volume, cfg.corr_levels))
 
         B, Hc, Wc, _ = fmap1.shape
         coords0x = coords_grid_x(B, Hc, Wc)
@@ -225,7 +241,7 @@ class RAFTStereo(nn.Module):
         step = Scan(cfg, collect, name="step")
         mask0 = jnp.zeros((B, Hc, Wc, factor**2 * 9), cfg.compute_dtype)
         (net, coords1x, up_mask), ys = step(
-            (net, coords1x, mask0), (pyramid, inp, coords0x)
+            (net, coords1x, mask0), (pyramid, inp, coords0x, fmap1.astype(jnp.float32))
         )
 
         if self.test_mode:

@@ -74,6 +74,59 @@ def corr_pyramid(volume: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
     return pyramid
 
 
+def fmap_pyramid(fmap2: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
+    """Width-pooled right-feature pyramid for the memory-efficient "alt"
+    lookup (core/corr.py:104: ``avg_pool2d(fmap2, [1,2])`` per level)."""
+    pyr = [fmap2]
+    f = fmap2
+    for _ in range(num_levels - 1):
+        w = f.shape[2]
+        f = f[:, :, : (w // 2) * 2].reshape(f.shape[0], f.shape[1], w // 2, 2, f.shape[-1]).mean(3)
+        pyr.append(f)
+    return pyr
+
+
+def corr_lookup_alt(
+    fmap1: jnp.ndarray,
+    f2_pyramid: list[jnp.ndarray],
+    coords_x: jnp.ndarray,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Memory-efficient on-the-fly lookup (core/corr.py:64-107, config "alt"):
+    sample the pooled right features at the tap positions and dot with the
+    left features — no W×W₂ volume is ever materialized. Numerically equal to
+    the materialized path because average pooling is linear in fmap2.
+
+    fmap1: (B,H,W,D); coords_x: (B,H,W,1). Returns (B,H,W,L·(2r+1)) fp32.
+    """
+    B, H, W, D = fmap1.shape
+    r = radius
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    K = 2 * r + 1
+    f1 = fmap1.astype(jnp.float32)
+    out = []
+    for i, f2 in enumerate(f2_pyramid):
+        S = f2.shape[2]
+        x = coords_x.astype(jnp.float32) / (2**i) + dx  # (B,H,W,K)
+        x0 = jnp.floor(x)
+        w = x - x0
+
+        def tap(ix):
+            inb = ((ix >= 0) & (ix <= S - 1)).astype(jnp.float32)
+            ixc = jnp.clip(ix, 0, S - 1).astype(jnp.int32).reshape(B, H, W * K)
+            vals = jnp.take_along_axis(
+                f2.astype(jnp.float32), ixc[..., None], axis=2
+            ).reshape(B, H, W, K, D)
+            return vals * inb[..., None]
+
+        sampled = tap(x0) * (1 - w)[..., None] + tap(x0 + 1) * w[..., None]
+        corr = jnp.einsum("bhwkd,bhwd->bhwk", sampled, f1) / jnp.sqrt(
+            jnp.asarray(D, jnp.float32)
+        )
+        out.append(corr)
+    return jnp.concatenate(out, axis=-1)
+
+
 def corr_lookup(
     pyramid: list[jnp.ndarray], coords_x: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:

@@ -105,3 +105,34 @@ def test_loss_nan_pred_flags_not_ok():
     loss, _, _, ok = sequence_loss_raft(preds, gt, valid)
     assert not bool(ok)
     assert float(loss) == 0.0
+
+
+def test_alt_corr_matches_reg(images):
+    # "alt" (on-the-fly recompute) must equal "reg" (materialized volume):
+    # avg pooling is linear in fmap2, so the two formulations coincide
+    img1, img2 = images
+    cfg_reg = RAFTStereoConfig(mixed_precision=False, context_norm="instance",
+                               corr_dtype="float32")
+    cfg_alt = RAFTStereoConfig(mixed_precision=False, context_norm="instance",
+                               corr_dtype="float32", corr_implementation="alt")
+    m_reg = RAFTStereo(cfg_reg, iters=2, test_mode=True)
+    m_alt = RAFTStereo(cfg_alt, iters=2, test_mode=True)
+    params = m_reg.init(jax.random.PRNGKey(0), img1, img2)
+    _, d_reg = m_reg.apply(params, img1, img2)
+    _, d_alt = m_alt.apply(params, img1, img2)
+    np.testing.assert_allclose(np.asarray(d_alt), np.asarray(d_reg), atol=1e-3)
+
+
+def test_mix_corr_runs(images):
+    img1, img2 = images
+    cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance",
+                           corr_implementation="mix_fmap_image")
+    model = RAFTStereo(cfg, iters=2, test_mode=False)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mix": jax.random.PRNGKey(1)}, img1, img2
+    )
+    out = model.apply(params, img1, img2, rngs={"mix": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out["disp_preds"])).all()
+    # different mix keys -> different volumes -> different outputs
+    out2 = model.apply(params, img1, img2, rngs={"mix": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(out["disp_preds"]), np.asarray(out2["disp_preds"]))
