@@ -21,10 +21,12 @@ def main():
 
     from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
 
-    # bf16 compute, bf16-stored volume, fused Pallas pyramid lookup
-    # ("reg_cuda" = the TPU analogue of the reference's CUDA corr_sampler);
-    # measured 6x faster than the XLA gather path on this chip.
-    cfg = RAFTStereoConfig(corr_implementation="reg_cuda")
+    # Perf-mode config: bf16 compute, bf16-stored volume, fused Pallas
+    # pyramid lookup ("reg_cuda" = the TPU analogue of the reference's CUDA
+    # corr_sampler; 6x faster than the XLA gather path here), subsampled
+    # instance-norm statistics in the feature encoder. Accuracy evaluation
+    # (cli/eval.py) uses the exact default config.
+    cfg = RAFTStereoConfig(corr_implementation="reg_cuda", fast_in_stats=True)
     model = RAFTStereo(cfg, iters=32, test_mode=True)
 
     B, H, W = 1, 736, 1280

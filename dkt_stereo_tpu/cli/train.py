@@ -80,6 +80,8 @@ def train(args) -> str:
     config = load_model_config(args.config)
     model_cls, cfg_cls, _loss = get_model(config["model"])
     cfg = cfg_cls.from_dict(config)
+    from dkt_stereo_tpu.models.registry import make_loss_adapter
+    loss_adapter = make_loss_adapter(config["model"], cfg)
 
     hyper = DKTHyperParams(
         lr=args.lr,
@@ -118,7 +120,7 @@ def train(args) -> str:
     )
 
     H, W = args.image_size
-    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(args.seed), (args.batch_size, H, W))
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(args.seed), (args.batch_size, H, W), model_cls=model_cls)
 
     if args.restore_ckpt:
         if args.restore_ckpt.endswith(".pth"):
@@ -134,7 +136,7 @@ def train(args) -> str:
             state = restore_checkpoint(args.restore_ckpt, state)
 
     state = replicate(state, mesh)
-    step_fn = make_dkt_train_step(cfg, hyper)
+    step_fn = make_dkt_train_step(cfg, hyper, model_cls=model_cls, loss_adapter=loss_adapter)
     schedule = onecycle_linear(hyper.lr, hyper.num_steps + 100)
 
     save_dir = Path(args.save_dir)

@@ -65,6 +65,9 @@ class RAFTStereoConfig:
     # correlation pyramid. "bfloat16" halves volume HBM traffic (lookup
     # interpolation stays fp32); "float32" gives exact reference parity.
     corr_dtype: str = "bfloat16"
+    # TPU extension: subsampled instance-norm statistics in the feature
+    # encoder (perf mode; ~1e-3 relative feature drift). False = exact.
+    fast_in_stats: bool = False
 
     @property
     def compute_dtype(self):
@@ -177,7 +180,8 @@ class RAFTStereo(nn.Module):
                 fmap1, fmap2 = jnp.split(x, 2, axis=0)
             else:
                 cnet_list = cnet(x1)
-                fnet = BasicEncoder(256, "instance", cfg.n_downsample, dtype=dt, name="fnet")
+                fnet_norm = "instance_fast" if cfg.fast_in_stats else "instance"
+                fnet = BasicEncoder(256, fnet_norm, cfg.n_downsample, dtype=dt, name="fnet")
                 fmap = fnet(jnp.concatenate([x1, x2], axis=0))
                 fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
         elif cfg.backbone_type == "interpolate":

@@ -14,3 +14,24 @@ def get_model(name: str):
     if name not in MODELS:
         raise KeyError(f"unknown model {name!r}; registered: {sorted(MODELS)}")
     return MODELS[name]
+
+
+def make_loss_adapter(name: str, cfg):
+    """Uniform loss interface for the DKT loop: fn(outputs_dict, flow_gt,
+    valid) -> (loss, metrics, mask, ok), mirroring the reference's
+    ``loss_func(results, disp_gt, valid, args=args)`` convention
+    (tools/ft_dkt.py:227-228)."""
+    from dkt_stereo_tpu.losses.cgi import loss_cgi
+    from dkt_stereo_tpu.losses.gwc import loss_gwcnet
+    from dkt_stereo_tpu.losses.pcv import sequence_loss_pcvnet
+    from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
+
+    if name in ("RAFTStereo", "IGEVStereo"):
+        return lambda out, gt, v: sequence_loss_raft(out["disp_preds"], gt, v)
+    if name == "GWCNet":
+        return lambda out, gt, v: loss_gwcnet(out["disp_preds"], gt, v, cfg.maxdisp)
+    if name == "CGI_Stereo":
+        return lambda out, gt, v: loss_cgi(out["disp_preds"], gt, v, cfg.maxdisp)
+    if name == "PCVNet":
+        return lambda out, gt, v: sequence_loss_pcvnet(out["output_list"], gt, v)
+    raise KeyError(name)

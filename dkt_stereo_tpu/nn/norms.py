@@ -29,12 +29,25 @@ class InstanceNorm(nn.Module):
     bf16 activations (2× HBM traffic in the fnet stem otherwise)."""
 
     epsilon: float = 1e-5
+    # stats_stride > 1 estimates mean/var on an HxW subsample (stride² fewer
+    # samples; ~59k pixels still at stride 4 on 736x1280) — shrinks the
+    # full-tensor reduction that serializes against the surrounding convs.
+    # Perf mode only; exact parity keeps stride 1.
+    stats_stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        centered = x - mean.astype(x.dtype)
-        var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        s = self.stats_stride
+        xs = x[:, ::s, ::s] if s > 1 else x
+        mean = jnp.mean(xs, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        if s > 1:
+            var = jnp.mean(
+                (xs - mean.astype(xs.dtype)) ** 2, axis=(1, 2), keepdims=True, dtype=jnp.float32
+            )
+            centered = x - mean.astype(x.dtype)
+        else:
+            centered = x - mean.astype(x.dtype)
+            var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True, dtype=jnp.float32)
         scale = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
         return centered * scale
 
@@ -62,6 +75,8 @@ class Norm(nn.Module):
             )(x)
         if self.norm_fn == "instance":
             return InstanceNorm()(x)
+        if self.norm_fn == "instance_fast":
+            return InstanceNorm(stats_stride=4)(x)
         if self.norm_fn == "none":
             return x
         raise ValueError(f"unknown norm_fn {self.norm_fn!r}")

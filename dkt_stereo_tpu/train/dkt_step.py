@@ -34,18 +34,19 @@ from dkt_stereo_tpu.train.state import DKTHyperParams, DKTTrainState, make_optim
 
 
 def create_dkt_state(
-    cfg: RAFTStereoConfig,
+    cfg,
     hyper: DKTHyperParams,
     rng: jax.Array,
     sample_shape: tuple[int, int, int],
     params=None,
     teacher_params=None,
+    model_cls=RAFTStereo,
 ) -> DKTTrainState:
     """Initialize (or adopt restored) params; EMA starts as a copy of the
     student and the frozen teacher defaults to the same weights
     (ft_dkt.py:139-150: student/EMA/teacher all from restore_ckpt)."""
     B, H, W = sample_shape
-    model = RAFTStereo(cfg, iters=2, test_mode=False)
+    model = model_cls(cfg, iters=2, test_mode=False)
     if params is None:
         dummy = jnp.zeros((B, H, W, 3), jnp.float32)
         params = model.init(rng, dummy, dummy)
@@ -61,13 +62,25 @@ def create_dkt_state(
     )
 
 
-def make_dkt_train_step(cfg: RAFTStereoConfig, hyper: DKTHyperParams):
+def make_dkt_train_step(
+    cfg,
+    hyper: DKTHyperParams,
+    model_cls=RAFTStereo,
+    loss_adapter=None,
+):
     """Returns jitted ``step_fn(state, batch, key) -> (state, metrics)``.
+
+    Model-generic like the reference loop (tools/ft_dkt.py:117-118 builds the
+    model and loss from the registry): pass any registered ``model_cls`` and
+    a ``loss_adapter(outputs, gt, valid)`` (see models.registry.make_loss_adapter);
+    defaults reproduce the RAFT-Stereo configuration.
 
     ``batch``: dict with img1/img2/img1_clean/img2_clean (B,H,W,3 in [0,255]),
     flow (B,H,W, negative disparity), valid (B,H,W in {0,1})."""
-    student = RAFTStereo(cfg, iters=hyper.train_iters, test_mode=False)
-    teacher = RAFTStereo(cfg, iters=hyper.teacher_iters, test_mode=True)
+    if loss_adapter is None:
+        loss_adapter = lambda out, gt, v: sequence_loss_raft(out["disp_preds"], gt, v)
+    student = model_cls(cfg, iters=hyper.train_iters, test_mode=False)
+    teacher = model_cls(cfg, iters=hyper.teacher_iters, test_mode=True)
     tx, schedule = make_optimizer(hyper)
 
     def step_fn(state: DKTTrainState, batch: dict, key: jax.Array):
@@ -120,9 +133,8 @@ def make_dkt_train_step(cfg: RAFTStereoConfig, hyper: DKTHyperParams):
                 loss_dw2_pl, _, _, _ = sequence_loss_raft(preds_h_up, pl_aug, valid_pl_aug)
 
             out = student.apply(params, batch["img1"], batch["img2"], flow_init)
-            preds = out["disp_preds"]
-            loss_gt, metrics, _, ok_gt = sequence_loss_raft(preds, gt_aug, valid_gt_aug)
-            loss_pl, _, _, ok_pl = sequence_loss_raft(preds, pl_aug, valid_pl_aug)
+            loss_gt, metrics, _, ok_gt = loss_adapter(out, gt_aug, valid_gt_aug)
+            loss_pl, _, _, ok_pl = loss_adapter(out, pl_aug, valid_pl_aug)
             loss_gt = loss_gt + 0.5 * loss_dw2_gt  # (:229-233)
             loss_pl = loss_pl + 0.5 * loss_dw2_pl
             loss = loss_gt + hyper.pl_weight * loss_pl
