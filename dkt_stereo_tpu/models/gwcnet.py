@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dkt_stereo_tpu.nn.conv3d import Conv3D, ConvBN3D, Hourglass3D
+from dkt_stereo_tpu.nn.norms import Norm
 from dkt_stereo_tpu.nn.psm import FeatureExtractionPSM
 from dkt_stereo_tpu.ops.resize import interp_trilinear_halfpix
 from dkt_stereo_tpu.ops.volumes import (
@@ -75,7 +76,7 @@ class GWCNet(nn.Module):
     test_mode: bool = False
 
     @nn.compact
-    def __call__(self, image1, image2, flow_init=None):
+    def __call__(self, image1, image2, flow_init=None, augp1=None, augp2=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         ura = not (cfg.train_bn and not self.test_mode)
@@ -89,6 +90,23 @@ class GWCNet(nn.Module):
         )
         fL = feat(x1)
         fR = feat(x2)
+
+        results_extra = {}
+        if cfg.ptrans and not self.test_mode and augp1 is not None:
+            # patch contrastive projection head (gwc_main.py:174-181, 290-300):
+            # augmented patch views through the shared trunk, global-avg-pool,
+            # 2-layer projection, L2-normalized embeddings
+            Bs, NP, NV = augp1.shape[:3]
+            augps = jnp.concatenate([augp1, augp2], axis=2)  # (B,NP,2NV,P,P,3)
+            augps = (2.0 * (augps / 255.0) - 1.0).astype(dt)
+            flat = augps.reshape(-1, *augps.shape[3:])
+            feat_ps = feat(flat)["gwc_feature"].mean(axis=(1, 2))  # GAP → (N,320)
+            z = nn.Dense(320, dtype=dt, name="projection_0")(feat_ps)
+            z = Norm("batch", None, ura, dt, name="projection_bn")(z[:, None, None, :])[:, 0, 0]
+            z = nn.relu(z)
+            z = nn.Dense(256, dtype=dt, name="projection_3")(z).astype(jnp.float32)
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+            results_extra["z_ps"] = z.reshape(Bs, NP, 2 * NV, 256)
 
         vol = build_gwc_volume(fL["gwc_feature"], fR["gwc_feature"], D4, cfg.num_groups)
         if cfg.use_concat_volume:
@@ -123,4 +141,4 @@ class GWCNet(nn.Module):
         preds = []
         for name, c in (("classif0", cost0), ("classif1", out1), ("classif2", out2), ("classif3", out3)):
             preds.append(regress(_Classifier(ura, dt, name=name)(c)))
-        return {"disp_preds": jnp.stack(preds)}  # (4, B, H, W), negative
+        return {"disp_preds": jnp.stack(preds), **results_extra}  # (4,B,H,W) negative

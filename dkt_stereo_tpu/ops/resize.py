@@ -46,7 +46,10 @@ def interp_bilinear_align(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarra
     R = jnp.asarray(_linear_interp_matrix(Ho, H))
     C = jnp.asarray(_linear_interp_matrix(Wo, W))
     # (B,H,W,C) -> rows: contract H with R^T -> (B,Ho,W,C)
-    hi = jax.lax.Precision.HIGHEST  # interp weights are parity-critical
+    # HIGHEST for fp32 (parity-critical); bf16 activations (inside the GRU
+    # scan) use the native MXU path — HIGHEST on bf16 triggers the expensive
+    # multi-pass emulation for no accuracy benefit
+    hi = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = jnp.einsum("oh,bhwc->bowc", R.astype(x.dtype), x, precision=hi)
     y = jnp.einsum("pw,bowc->bopc", C.astype(x.dtype), y, precision=hi)
     return y
@@ -114,7 +117,7 @@ def interp_trilinear_halfpix(x: jnp.ndarray, out_dhw: tuple[int, int, int]) -> j
     gwc_main.py:248-263). Three separable matmuls."""
     _, D, H, W, _ = x.shape
     Do, Ho, Wo = out_dhw
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = x
     if Do != D:
         M = jnp.asarray(_halfpix_interp_matrix(Do, D), x.dtype)
@@ -132,7 +135,7 @@ def interp_bilinear_halfpix(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndar
     """Bilinear align_corners=False resize of NHWC ``x`` (torch default)."""
     _, H, W, _ = x.shape
     Ho, Wo = out_hw
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = x
     if Ho != H:
         M = jnp.asarray(_halfpix_interp_matrix(Ho, H), x.dtype)

@@ -163,3 +163,18 @@ def test_gwcnet_matches_reference(use_concat, rng):
     theirs = theirs.squeeze(1).numpy()
     diff = np.abs(np.asarray(ours) - theirs)
     assert diff.max() < 5e-2, f"max {diff.max()} mean {diff.mean()}"
+
+
+def test_gwcnet_ptrans_head(rng):
+    cfg = GWCNetConfig(maxdisp=32, mixed_precision=False, ptrans=True)
+    B, H, W = 1, 32, 32
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    augp1 = jnp.asarray(rng.uniform(0, 255, (B, 2, 2, 32, 32, 3)).astype(np.float32))
+    augp2 = jnp.asarray(rng.uniform(0, 255, (B, 2, 2, 32, 32, 3)).astype(np.float32))
+    model = GWCNet(cfg, test_mode=False)
+    params = model.init(jax.random.PRNGKey(0), img1, img2, None, augp1, augp2)
+    out = model.apply(params, img1, img2, None, augp1, augp2)
+    assert out["z_ps"].shape == (B, 2, 4, 256)
+    norms = np.linalg.norm(np.asarray(out["z_ps"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
