@@ -45,6 +45,14 @@ def main(argv=None):
     from dkt_stereo_tpu.models import get_model
     from dkt_stereo_tpu.train.checkpoint import import_reference_pth, restore_checkpoint
 
+    import os
+
+    if not os.path.isdir(args.data_root):
+        raise SystemExit(
+            f"--data_root {args.data_root!r} does not exist (checked before "
+            "model compilation, which takes minutes on TPU)"
+        )
+
     config = load_model_config(args.config)
     model_cls, cfg_cls, _ = get_model(config["model"])
     cfg = cfg_cls.from_dict(config)

@@ -139,10 +139,11 @@ def readDispMiddlebury(path: str):
 
 
 def readDispBooster(path: str):
-    """Booster disp_00.npy GT; validity disp>0 (core/stereo_datasets.py:367-371
-    loads via read_gen npy and masks 0<disp<512 in the base class)."""
+    """Booster disp_00.npy GT. The reference loads it via read_gen and the
+    dataset base class masks 0 < disp < 512 (core/stereo_datasets.py:83);
+    the same bounds are applied here."""
     disp = np.load(path)
-    return disp, disp > 0
+    return disp, (disp > 0) & (disp < 512)
 
 
 def read_gen(path: str, pil: bool = False):

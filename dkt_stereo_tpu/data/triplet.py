@@ -222,3 +222,34 @@ class NerfStereo:
             "im1": data["im1"].astype(np.float32),
             "im2": data["im2"].astype(np.float32),
         }
+
+
+def collate_mixed(samples: list[dict]) -> tuple[dict, int, int]:
+    """Joint binocular + trinocular batch assembly (the reference's
+    ``NerfStereo.collate_fn``, core/stereo_datasets.py:449-480).
+
+    Binocular samples are dicts with img1/img2/flow/valid (StereoDataset);
+    trinocular samples come from :class:`NerfStereo`. Returns
+    ``(data, n_bi, n_tri)`` where data has the stacked forward pair plus
+    per-modality sub-dicts."""
+    bi = [s for s in samples if "img1" in s]
+    tri = [s for s in samples if "im1_forward" in s]
+    assert len(bi) + len(tri) == len(samples)
+
+    data: dict = {"im1_forward": None, "im2_forward": None, "bi": {}, "tri": {}}
+    if bi:
+        data["im1_forward"] = np.stack([s["img1"] for s in bi])
+        data["im2_forward"] = np.stack([s["img2"] for s in bi])
+        data["bi"]["flow"] = np.stack([s["flow"] for s in bi])
+        data["bi"]["valid"] = np.stack([s["valid"] for s in bi])
+    if tri:
+        f1 = np.stack([s["im1_forward"] for s in tri])
+        f2 = np.stack([s["im2_forward"] for s in tri])
+        if data["im1_forward"] is None:
+            data["im1_forward"], data["im2_forward"] = f1, f2
+        else:
+            data["im1_forward"] = np.concatenate([data["im1_forward"], f1])
+            data["im2_forward"] = np.concatenate([data["im2_forward"], f2])
+        for k in ("flow", "conf", "im0", "im1", "im2"):
+            data["tri"][k] = np.stack([s[k] for s in tri])
+    return data, len(bi), len(tri)
