@@ -44,12 +44,14 @@ class PCVMultiBasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, dual_inp: bool = True):
         d, ura, dt = self.downsample, self.use_running_average, self.dtype
-        x = conv(64, 7, 1 + (d > 2), 3, dt, name="conv1")(x)
+        # PCV variant (extractor.py:214-223): conv1 ALWAYS stride 2; layer2
+        # stride 1 when down_sample==2 (finest head at 1/4) else 2 (1/8).
+        x = conv(64, 7, 2, 3, dt, name="conv1")(x)
         x = Norm(self.norm_fn, 8, ura, dt, name="norm1")(x)
         x = nn.relu(x)
         x = _res_pair(64, 64, self.norm_fn, 1, ura, dt, "layer1")(x)
-        x = _res_pair(64, 96, self.norm_fn, 1 + (d > 1), ura, dt, "layer2")(x)
-        x = _res_pair(96, 128, self.norm_fn, 1 + (d > 0), ura, dt, "layer3")(x)
+        x = _res_pair(64, 96, self.norm_fn, 1 if d == 2 else 2, ura, dt, "layer2")(x)
+        x = _res_pair(96, 128, self.norm_fn, 2, ura, dt, "layer3")(x)
 
         v = None
         if dual_inp:
@@ -61,18 +63,21 @@ class PCVMultiBasicEncoder(nn.Module):
 
         from dkt_stereo_tpu.nn.blocks import _ConvOut
 
+        # head channel indexing follows the reference: outputs08 uses dim[0],
+        # outputs16 dim[1], outputs32 dim[3] (extractor.py:226-261, quirky
+        # but all-128 in practice)
         outputs08 = [
-            _ConvOut(dim[3], self.norm_fn, ura, dt, name=f"outputs08_{i}")(x)
+            _ConvOut(dim[0], self.norm_fn, ura, dt, name=f"outputs08_{i}")(x)
             for i, dim in enumerate(self.output_dim)
         ]
         y = _res_pair(128, 128, self.norm_fn, 2, ura, dt, "layer4")(x)
         outputs16 = [
-            _ConvOut(dim[2], self.norm_fn, ura, dt, name=f"outputs16_{i}")(y)
+            _ConvOut(dim[1], self.norm_fn, ura, dt, name=f"outputs16_{i}")(y)
             for i, dim in enumerate(self.output_dim)
         ]
         z = _res_pair(128, 128, self.norm_fn, 2, ura, dt, "layer5")(y)
         outputs32 = [
-            conv(dim[1], 3, 1, 1, dt, name=f"outputs32_{i}")(z)
+            conv(dim[3], 3, 1, 1, dt, name=f"outputs32_{i}")(z)
             for i, dim in enumerate(self.output_dim)
         ]
         if dual_inp:

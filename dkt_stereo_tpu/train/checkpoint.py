@@ -34,8 +34,8 @@ _NAME_RULES: list[tuple[str, str]] = [
     (r"outputs(08|16)\.(\d+)\.1\.", r"outputs\1_\2.conv."),
     (r"outputs32\.(\d+)\.", r"outputs32_\1."),
     (r"context_zqr_convs\.(\d+)\.", r"context_zqr_convs_\1."),
-    (r"mask\.0\.", "mask_conv1."),
-    (r"mask\.2\.", "mask_conv2."),
+    (r"(^|\.)mask\.0\.", r"\1mask_conv1."),  # anchored: not conv_softmask.0
+    (r"(^|\.)mask\.2\.", r"\1mask_conv2."),
     # GWCNet (gwcnet/gwc_main.py, submodules.py)
     (r"firstconv\.(\d+)\.0\.", lambda m: f"firstconv_{int(m.group(1)) // 2}.conv."),
     (r"firstconv\.(\d+)\.1\.", lambda m: f"firstconv_{int(m.group(1)) // 2}.bn."),
@@ -53,8 +53,19 @@ _NAME_RULES: list[tuple[str, str]] = [
     (r"(classif\d)\.0\.0\.", r"\1.0.conv."),
     (r"(classif\d)\.0\.1\.", r"\1.0.bn."),
     (r"(classif\d)\.2\.", r"\1.1."),
-    (r"(conv[12])\.0\.", r"\1.conv."),  # PSM BasicBlock convbn (after 3D rules)
-    (r"(conv[12])\.1\.", r"\1.bn."),
+    # PCVNet (pcvnet/model.py, update.py, refinement.py, extractor.py)
+    (r"^FDM\.", "step.FDM."),
+    (r"^conv2\.0\.", "conv2_res."),  # shared-backbone head Sequential
+    (r"^conv2\.1\.", "conv2_out."),
+    (r"low_level_conv\.(\d)\.", r"low_level_conv_\1."),
+    (r"(conv\d_out)\.0\.", r"\1_0."),  # FDM conv2_out/conv3_out Sequential
+    (r"conv_softmask\.0\.", "conv_softmask_0."),
+    (r"conv_disp\.0\.", "conv_disp_0."),
+    # shared / ambiguous Sequential indices: PSM convbn (conv+bn) vs PCV
+    # Sequential(conv, relu) — resolved against the template
+    (r"(conv[0-9])\.0\.", r"\1.conv.|\1_0."),
+    (r"(conv[0-9])\.1\.", r"\1.bn."),
+    (r"(conv[0-9])\.2\.", r"\1_2."),  # refineNet conv0.2
     (r"(layer\d)\.(\d+)\.", r"\1_\2.|\1.\2."),  # PSM flat vs RAFT nested stages
     # shared / ambiguous
     (r"downsample\.0\.", "downsample_conv."),

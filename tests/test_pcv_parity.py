@@ -1,0 +1,79 @@
+"""PCVNet end-to-end numerical parity vs the reference PyTorch model."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "meta_arch")), reason="reference not mounted"
+)
+
+
+def _load_ref_pcv():
+    import importlib
+    import importlib.util
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    pkg_dir = os.path.join(REF, "meta_arch", "pcvnet")
+    name = "ref_pcv_pkg"
+    if name not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(pkg_dir, "__init__.py"),
+            submodule_search_locations=[pkg_dir],
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    return importlib.import_module(f"{name}.model").PCVNet
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_pcvnet_matches_reference(rng):
+    TorchPCV = _load_ref_pcv()
+    args = _Args(
+        corr_levels=3, corr_radius=4, n_downsample=2, context_norm="batch",
+        slow_fast_gru=True, n_gru_layers=3, hidden_dims=[128, 128, 128, 128],
+        gauss_num=4, sample_num=9, init_sigma=32, init_mu=[0, 64, 128, 192],
+        mixed_precision=False, valid_iters=3,
+    )
+    torch.manual_seed(0)
+    tmodel = TorchPCV(args)
+    tmodel.eval()
+
+    from dkt_stereo_tpu.models import PCVNet, PCVNetConfig
+    from dkt_stereo_tpu.train.checkpoint import import_reference_pth
+
+    cfg = PCVNetConfig(mixed_precision=False, valid_iters=3)
+    # W must keep every pyramid level wider than 1: the reference's
+    # bilinear_sampler divides by (W2-1) and NaNs at W2==1 (W=96 -> 24/6/1)
+    B, H, W = 1, 64, 256
+    img1 = rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)
+
+    model = PCVNet(cfg, iters=3, test_mode=True)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(img1), jnp.asarray(img2))
+    variables = import_reference_pth(tmodel.state_dict(), template)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    _, ours = model.apply(variables, jnp.asarray(img1), jnp.asarray(img2))
+    ours = -np.asarray(ours)  # back to the reference's positive convention
+
+    with torch.no_grad():
+        t1 = torch.from_numpy(img1).permute(0, 3, 1, 2)
+        t2 = torch.from_numpy(img2).permute(0, 3, 1, 2)
+        _, theirs = tmodel(t1, t2, iters=3, test_mode=True)
+    theirs = theirs.squeeze(1).numpy()
+
+    diff = np.abs(ours - theirs)
+    assert diff.max() < 1e-1, f"max {diff.max()} mean {diff.mean()}"
+    assert diff.mean() < 1e-2
