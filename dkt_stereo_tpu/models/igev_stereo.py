@@ -172,7 +172,8 @@ class IGEVStereo(nn.Module):
             stem_2x = jax.lax.stop_gradient(stem_2x)
 
         gwc = build_gwc_volume(match_l, match_r, D4, 8).astype(dt)  # (B,D4,H4,W4,8)
-        gwc = BasicConvIGEV(8, False, 3, None, False, 3, 1, 1, ura, dt, name="corr_stem")(gwc)
+        # corr_stem is a default BasicConv: BN + LeakyReLU (igev_stereo.py:130)
+        gwc = BasicConvIGEV(8, False, 3, "batch", True, 3, 1, 1, ura, dt, name="corr_stem")(gwc)
         gwc = FeatureAtt(8, ura, dt, name="corr_feature_att")(gwc, feats_l[0])
         geo_volume = HourglassIGEV(8, ura, dt, name="cost_agg")(gwc, feats_l)  # (B,D4,H4,W4,8)
 

@@ -30,8 +30,16 @@ import numpy as np
 _NAME_RULES: list[tuple[str, str]] = [
     # RAFT-Stereo (core/extractor.py, core/update.py, raft_stereo.py)
     (r"^update_block\.", "step.update_block."),
-    (r"outputs(08|16)\.(\d+)\.0\.", r"outputs\1_\2.res."),
-    (r"outputs(08|16)\.(\d+)\.1\.", r"outputs\1_\2.conv."),
+    # IGEV's encoder copy names its heads by true scale (outputs04/08/16,
+    # igev_stereo/extractor.py) where RAFT/PCV use outputs08/16/32; map onto
+    # our shared scale-indexed names with template-resolved alternatives
+    (r"outputs04\.(\d+)\.0\.", r"outputs08_\1.res."),
+    (r"outputs04\.(\d+)\.1\.", r"outputs08_\1.conv."),
+    (r"outputs16\.(\d+)\.(weight|bias)$", r"outputs32_\1.\2"),  # IGEV coarsest (plain conv)
+    (r"outputs08\.(\d+)\.0\.", r"outputs08_\1.res.|outputs16_\1.res."),
+    (r"outputs08\.(\d+)\.1\.", r"outputs08_\1.conv.|outputs16_\1.conv."),
+    (r"outputs16\.(\d+)\.0\.", r"outputs16_\1.res."),
+    (r"outputs16\.(\d+)\.1\.", r"outputs16_\1.conv."),
     (r"outputs32\.(\d+)\.", r"outputs32_\1."),
     (r"context_zqr_convs\.(\d+)\.", r"context_zqr_convs_\1."),
     (r"(^|\.)mask\.0\.", r"\1mask_conv1."),  # anchored: not conv_softmask.0
@@ -53,6 +61,42 @@ _NAME_RULES: list[tuple[str, str]] = [
     (r"(classif\d)\.0\.0\.", r"\1.0.conv."),
     (r"(classif\d)\.0\.1\.", r"\1.0.bn."),
     (r"(classif\d)\.2\.", r"\1.1."),
+    # IGEV-Stereo (igev_stereo/igev_stereo.py, extractor.py, submodule.py);
+    # timm block indices map to flax trunk stage_block names (Feature slices
+    # model.blocks into block0..block4 with block3 = stages 3+4)
+    # (IGEV nests the trunk under feature/trunk; CGI's trunk is top-level
+    # feature_trunk — both offered as template-resolved alternatives)
+    (r"^feature\.(conv_stem|bn1)\.", r"feature.trunk.\1.|feature_trunk.\1."),
+    (
+        r"^feature\.block(\d)\.(\d)\.(\d+)\.",
+        (
+            lambda m: "feature.trunk.blocks_{}_{}.".format(
+                {0: 0, 1: 1, 2: 2, 3: 3, 4: 5}[int(m.group(1))] + int(m.group(2)),
+                m.group(3),
+            ),
+            lambda m: "feature_trunk.blocks_{}_{}.".format(
+                {0: 0, 1: 1, 2: 2, 3: 3, 4: 5}[int(m.group(1))] + int(m.group(2)),
+                m.group(3),
+            ),
+        ),
+    ),
+    (r"stem_([24])\.2\.", r"stem_\1_bn."),  # CGI BN stems (IGEV .2 is IN, no params)
+    (r"stem_([24])\.(\d)\.", r"stem_\1_\2."),
+    (r"spx\.0\.", "spx_0."),
+    (r"^spx_gru\.0\.", "step.spx_gru_0."),
+    (r"^spx_2_gru\.", "step.spx_2_gru."),
+    (r"spx_4\.2\.", "spx_4_bn."),  # CGI spx_4 BatchNorm
+    (r"spx_4\.(\d)\.", r"spx_4_\1."),
+    (r"(agg_[01])\.(\d)\.", r"\1_\2."),
+    (r"feat_att\.(\d)\.", r"feat_att_\1."),
+    (r"(^|\.)att\.(\d)\.", r"\1att_\2."),  # CGI CGF attention sequential
+    (r"mask_feat_4\.0\.", "mask_feat_4_0."),
+    # CGI-Stereo extras (cgi/CGI_Stereo.py)
+    (r"^semantic\.0\.", "semantic_0."),
+    (r"^semantic\.1\.", "semantic_1."),
+    (r"semantic\.0\.", "semantic_0."),
+    (r"semantic\.1\.", "semantic_1."),
+    (r"^feature_up\.", ""),  # FeatUp modules live at top level here
     # PCVNet (pcvnet/model.py, update.py, refinement.py, extractor.py)
     (r"^FDM\.", "step.FDM."),
     (r"^conv2\.0\.", "conv2_res."),  # shared-backbone head Sequential
@@ -64,7 +108,7 @@ _NAME_RULES: list[tuple[str, str]] = [
     # shared / ambiguous Sequential indices: PSM convbn (conv+bn) vs PCV
     # Sequential(conv, relu) — resolved against the template
     (r"(conv[0-9])\.0\.", r"\1.conv.|\1_0."),
-    (r"(conv[0-9])\.1\.", r"\1.bn."),
+    (r"(conv[0-9])\.1\.", r"\1.bn.|\1_1."),
     (r"(conv[0-9])\.2\.", r"\1_2."),  # refineNet conv0.2
     (r"(layer\d)\.(\d+)\.", r"\1_\2.|\1.\2."),  # PSM flat vs RAFT nested stages
     # shared / ambiguous
@@ -74,19 +118,23 @@ _NAME_RULES: list[tuple[str, str]] = [
 
 
 def _map_candidates(key: str) -> list[list[str]]:
-    """Apply rules; '|' in replacements fans out into alternative paths."""
+    """Apply rules; '|'-separated (or tuple-of-callable) replacements fan out
+    into alternative paths resolved against the template."""
     keys = [key]
     for pat, repl in _NAME_RULES:
+        if isinstance(repl, str):
+            alts = repl.split("|")
+        elif isinstance(repl, tuple):
+            alts = list(repl)
+        else:
+            alts = [repl]
         next_keys = []
         for k in keys:
             if not re.search(pat, k):
                 next_keys.append(k)
                 continue
-            if isinstance(repl, str) and "|" in repl:
-                for alt in repl.split("|"):
-                    next_keys.append(re.sub(pat, alt, k))
-            else:
-                next_keys.append(re.sub(pat, repl, k))
+            for alt in alts:
+                next_keys.append(re.sub(pat, alt, k))
         keys = next_keys
     return [k.split(".") for k in keys]
 
@@ -125,26 +173,44 @@ def import_reference_pth(path_or_state, template_vars: dict) -> dict:
     out = to_mutable(template_vars)
     filled, skipped = 0, []
 
+    # Parameters the reference *creates* but never uses in forward — its
+    # BasicConv always instantiates self.bn even with bn=False (igev/cgi
+    # submodule.py:10-36); the hourglass final deconvs have bn=False.
+    known_unused = re.compile(r"conv1_up\.bn\.")
+    # Modules defined but never called in the reference's forward (their
+    # params exist in checkpoints but influence nothing): CGI's Feature
+    # defines deconv32_16 that only FeatUp uses (CGI_Stereo.py:58,71-96).
+    # Skipped only when no template path resolves (IGEV genuinely uses its
+    # feature.deconv32_16).
+    known_optional = re.compile(r"^feature\.deconv32_16\.")
+
     for key, tensor in state.items():
         key = key.removeprefix("module.")
         if key.endswith("num_batches_tracked"):
             continue
+        if known_unused.search(key):
+            continue
         arr = np.asarray(tensor.detach().cpu().numpy())
 
-        placed = False
+        resolved = []
         for tokens in _map_candidates(key):
             *scope, leaf = tokens
             path, value = _resolve_leaf(template_vars, scope, leaf, arr)
-            if path is None:
+            if path is not None:
+                resolved.append((path, value))
+        if not resolved:
+            if known_optional.search(key):
                 continue
-            target = _get(template_vars, path)
-            assert target.shape == value.shape, (key, path, target.shape, value.shape)
-            _set(out, path, value.astype(np.asarray(target).dtype))
-            placed = True
-            break
-        if not placed:
             skipped.append(key)
             continue
+        # among valid candidates prefer an unfilled slot (scale-shifted head
+        # names like IGEV's outputs04/08/16 can alias several templates)
+        path, value = next(
+            ((p, v) for p, v in resolved if _get(out, p) is None), resolved[0]
+        )
+        target = _get(template_vars, path)
+        assert target.shape == value.shape, (key, path, target.shape, value.shape)
+        _set(out, path, value.astype(np.asarray(target).dtype))
         filled += 1
 
     if skipped:
