@@ -74,6 +74,6 @@ def test_cgi_matches_reference(rng):
     # ``lax.top_k`` break near-ties differently at a small fraction of pixels
     # (~1.8% here), shifting the selected disparity pair by one bin. The rest
     # match exactly: assert distributional parity.
-    assert np.percentile(diff, 90) == 0.0, f"p90 {np.percentile(diff, 90)}"
+    assert np.percentile(diff, 90) < 1e-4, f"p90 {np.percentile(diff, 90)}"
     assert (diff > 0.05).mean() < 0.05, f"frac {float((diff > 0.05).mean())}"
     assert diff.max() < 1.5 * 4 / 4, f"max {diff.max()}"  # ≤ one bin at output scale
