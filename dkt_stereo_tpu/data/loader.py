@@ -19,9 +19,25 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ProcessPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
+
+# process-pool worker state (initialized once per worker process)
+_WORKER_DS = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _proc_batch(args):
+    indices, seed_tuple = args
+    rng = np.random.default_rng(seed_tuple)
+    samples = [_WORKER_DS.get_sample(int(i), rng) for i in indices]
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
 class StereoLoader:
@@ -36,6 +52,7 @@ class StereoLoader:
         prefetch: int = 4,
         num_hosts: int = 1,
         host_id: int = 0,
+        use_processes: bool = False,
     ):
         assert batch_size % num_hosts == 0, "global batch must divide across hosts"
         self.dataset = dataset
@@ -48,7 +65,12 @@ class StereoLoader:
         self.prefetch = prefetch
         self.num_hosts = num_hosts
         self.host_id = host_id
+        # Process workers sidestep the GIL for the cv2/PIL-heavy augmentation
+        # (the torch DataLoader's fork-worker model); threads remain the
+        # default for low-latency small jobs and picklability safety.
+        self.use_processes = use_processes
         self.epoch = 0
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -62,9 +84,28 @@ class StereoLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         return idx
 
+    def _iter_processes(self, indices, nb) -> Iterator[dict]:
+        if self._pool is None:
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                initializer=_proc_init,
+                initargs=(self.dataset,),
+            )
+        jobs = []
+        for b in range(nb):
+            chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            local = chunk[self.host_id * self.local_batch : (self.host_id + 1) * self.local_batch]
+            jobs.append((local, (self.seed, self.epoch, self.host_id, b)))
+        for batch in self._pool.map(_proc_batch, jobs, chunksize=1):
+            yield batch
+        self.epoch += 1
+
     def __iter__(self) -> Iterator[dict]:
         indices = self._epoch_indices()
         nb = len(self)
+        if self.use_processes:
+            yield from self._iter_processes(indices, nb)
+            return
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()
 

@@ -158,3 +158,15 @@ def test_dataset_mul_and_add(tmp_path, rng):
     ds = KITTI(None, root=root, split="2015")
     assert len(ds * 3) == 12
     assert len(ds + ds) == 8
+
+
+def test_loader_process_mode(tmp_path, rng):
+    root = _make_kitti_tree(tmp_path, rng)
+    aug = {"crop_size": (64, 128), "min_scale": -0.2, "max_scale": 0.4,
+           "do_flip": False, "yjitter": False}
+    ds = KITTI(aug, root=root, split="2015")
+    loader = StereoLoader(ds, batch_size=2, num_workers=2, seed=7, use_processes=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["img1"].shape == (2, 64, 128, 3)
+    loader._pool.shutdown()
