@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -30,11 +31,33 @@ class FlowHead(nn.Module):
         return conv(self.output_dim, 3, 1, 1, self.dtype, name="conv2")(x)
 
 
+class _ConvParams(nn.Module):
+    """Raw conv parameters with nn.Conv's tree layout (kernel HWIO + bias) —
+    lets ConvGRU fuse the z/r convolutions into one launch while keeping the
+    exact parameter paths the .pth importer expects."""
+
+    features: int
+    in_ch: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel
+        kernel = self.param("kernel", kaiming_out, (k, k, self.in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ConvGRU(nn.Module):
     """core/update.py:16-32: 3×3 gated recurrence with context biases.
 
     ``ctx`` is the per-scale (cz, cr, cq) triple precomputed from the context
     features (raft_stereo.py:114); pass zeros-like tensors when absent.
+
+    TPU note: z and r share the input ``hx``, so their convolutions run as a
+    single fused conv (kernels concatenated on the output axis at apply time;
+    XLA constant-folds the concat). Parameter tree is identical to three
+    separate convs — checkpoint-import compatible.
     """
 
     hidden_dim: int
@@ -47,10 +70,24 @@ class ConvGRU(nn.Module):
         x = jnp.concatenate(x_list, axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
         k, p = self.kernel_size, self.kernel_size // 2
-        z = nn.sigmoid(conv(self.hidden_dim, k, 1, p, self.dtype, name="convz")(hx) + cz)
-        r = nn.sigmoid(conv(self.hidden_dim, k, 1, p, self.dtype, name="convr")(hx) + cr)
+        in_ch = hx.shape[-1]
+        hd = self.hidden_dim
+
+        kz, bz = _ConvParams(hd, in_ch, k, name="convz")()
+        kr, br = _ConvParams(hd, in_ch, k, name="convr")()
+        kzr = jnp.concatenate([kz, kr], axis=-1).astype(self.dtype)
+        bzr = jnp.concatenate([bz, br]).astype(self.dtype)
+        zr = (
+            jax.lax.conv_general_dilated(
+                hx.astype(self.dtype), kzr, (1, 1), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + bzr
+        )
+        z = nn.sigmoid(zr[..., :hd] + cz)
+        r = nn.sigmoid(zr[..., hd:] + cr)
         q = nn.tanh(
-            conv(self.hidden_dim, k, 1, p, self.dtype, name="convq")(
+            conv(hd, k, 1, p, self.dtype, name="convq")(
                 jnp.concatenate([r * h, x], axis=-1)
             )
             + cq
