@@ -159,6 +159,23 @@ def train(args) -> str:
             lg.writer.add_scalar("learning_rate", host_metrics["learning_rate"], total_steps)
             lg.push({k: host_metrics[k] for k in ("epe", "1px", "3px", "5px", "loss") if k in host_metrics})
 
+            if total_steps % 100 == 0 and host_id == 0:
+                # TB image dumps (ft_dkt.py:252-272): inputs + colormapped GT
+                from dkt_stereo_tpu.utils.logging import save_images
+                from dkt_stereo_tpu.utils.visualization import disp_to_color
+
+                gt_img, maxd = disp_to_color(np.asarray(-batch["flow"][0]))
+                save_images(
+                    lg.writer,
+                    "train",
+                    {
+                        "image1": np.asarray(batch["img1"]).transpose(0, 3, 1, 2),
+                        "image1_clean": np.asarray(batch["img1_clean"]).transpose(0, 3, 1, 2),
+                        "disp_gt": gt_img,
+                    },
+                    total_steps,
+                )
+
             if total_steps % args.validation_frequency == args.validation_frequency - 1 and host_id == 0:
                 path = save_checkpoint(str(save_dir), state, total_steps + 1)
                 logging.info("saved %s", path)

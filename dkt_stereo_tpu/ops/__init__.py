@@ -31,3 +31,4 @@ from dkt_stereo_tpu.ops.volumes import (
     regression_topk,
 )
 from dkt_stereo_tpu.ops.warp import disp_warp, ssim
+from dkt_stereo_tpu.ops.misc import forward_interpolate, gauss_blur
