@@ -56,7 +56,7 @@ def train(args) -> str:
     import jax
     import jax.numpy as jnp
 
-    from dkt_stereo_tpu.cli.config import load_model_config, merge_config
+    from dkt_stereo_tpu.cli.config import load_model_config
     from dkt_stereo_tpu.data.datasets import fetch_dataset
     from dkt_stereo_tpu.data.loader import StereoLoader
     from dkt_stereo_tpu.eval.validate import (

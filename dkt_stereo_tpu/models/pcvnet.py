@@ -57,6 +57,8 @@ class PCVNetConfig:
     init_mu: Tuple[float, ...] = (0.0, 64.0, 128.0, 192.0)
     mixed_precision: bool = True
     valid_iters: int = 32
+    # "reg" = XLA gather lookup; "reg_cuda"/"pallas" = fused Pallas sampler
+    corr_implementation: str = "reg"
 
     @property
     def compute_dtype(self):
@@ -85,9 +87,19 @@ class _PCVIterStep(nn.Module):
         coords1 = jax.lax.stop_gradient(coords1)
         sigma_d = jax.lax.stop_gradient(sigma)
         w_d = jax.lax.stop_gradient(w)
-        corr = gaussian_corr_lookup(
-            list(pyramid), coords1, sigma_d, cfg.sample_num, cfg.compress_factor
-        )
+        # NB sigma enters the lookup UNdetached (model.py:121-122 detaches
+        # only coords1); its gradient flows through the sample positions
+        if cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas"):
+            from dkt_stereo_tpu.nn.pcv import gaussian_corr_lookup_pallas
+
+            corr = gaussian_corr_lookup_pallas(
+                tuple(pyramid), coords1, sigma, cfg.sample_num, cfg.compress_factor,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            corr = gaussian_corr_lookup(
+                list(pyramid), coords1, sigma, cfg.sample_num, cfg.compress_factor
+            )
         mu = jax.lax.stop_gradient(coords0 - coords1)
 
         fdm = BasicMultiUpdateBlockPCV(

@@ -97,6 +97,24 @@ def gaussian_corr_pyramid(volume: jnp.ndarray, num_levels: int, compress_factor:
     return pyr
 
 
+def gaussian_corr_lookup_pallas(pyramid, mu_coords, sigma, sample_num: int,
+                                compress_factor: int, interpret: bool = False):
+    """Fused Pallas version of :func:`gaussian_corr_lookup` (the TPU analogue
+    of the reference's corr_sampler shim at pcvnet/corr.py:6-9). Position
+    gradients flow into sigma through the sampler's VJP."""
+    from dkt_stereo_tpu.ops.pallas.row_sample import row_sample_pallas
+
+    half = sample_num // 2
+    dx = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    x = mu_coords[..., None] + sigma[..., None] * dx  # (B,H,W,G,S)
+    B, H, W, G, S = x.shape
+    out = []
+    for i, vol in enumerate(pyramid):
+        xi = (x / (compress_factor**i)).reshape(B, H, W, G * S)
+        out.append(row_sample_pallas(vol, xi, interpret))
+    return jnp.concatenate(out, axis=-1)
+
+
 def gaussian_corr_lookup(pyramid, mu_coords, sigma, sample_num: int, compress_factor: int):
     """corr.py:33-51. ``mu_coords``/``sigma``: (B,H,W,G). Output
     (B,H,W, L·G·S) — level-major, gaussian, then sample, matching the

@@ -35,8 +35,11 @@ def _fwd_kernel(disp_ref, coords_ref, *refs, radius: int, num_levels: int, C: in
     for r in range(R):
         outs = []
         for i in range(num_levels):
-            geo = geo_refs[i][r].astype(jnp.float32)  # (W1, D_i, C)
-            D = geo.shape[1]
+            # geo rows arrive d-major flattened (W1, D_i*C): C=8 on the lane
+            # axis alone would pad 16x and blow the VMEM budget at eval sizes
+            geo_flat = geo_refs[i][r].astype(jnp.float32)  # (W1, D_i*C)
+            D = geo_flat.shape[-1] // C
+            geo = geo_flat.reshape(W1, D, C)
             jd = jax.lax.broadcasted_iota(jnp.int32, (1, D, 1), 1).astype(jnp.float32)
             x = disp_ref[r].astype(jnp.float32) / (2**i)  # (W1,)
             geo_taps = []
@@ -72,7 +75,7 @@ def _bwd_kernel(disp_ref, coords_ref, g_ref, *drefs, radius: int, num_levels: in
         g_all = g_ref[r].astype(jnp.float32)  # (W1, L*(C*taps+taps))
         for i in range(num_levels):
             base = i * per_level
-            D = dgeo_refs[i].shape[2]
+            D = dgeo_refs[i].shape[-1] // C
             jd = jax.lax.broadcasted_iota(jnp.int32, (1, D, 1), 1).astype(jnp.float32)
             x = disp_ref[r].astype(jnp.float32) / (2**i)
             g_geo = g_all[:, base : base + C * taps].reshape(W1, C, taps)
@@ -81,7 +84,7 @@ def _bwd_kernel(disp_ref, coords_ref, g_ref, *drefs, radius: int, num_levels: in
                 pos = x[:, None, None] + (k - radius)
                 w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)  # (W1,D,1)
                 acc = acc + w * g_geo[:, None, :, k]  # (W1,D,C)
-            dgeo_refs[i][r] = acc.astype(dgeo_refs[i].dtype)
+            dgeo_refs[i][r] = acc.reshape(W1, D * C).astype(dgeo_refs[i].dtype)
 
             W2 = dcorr_refs[i].shape[-1]
             jc = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
@@ -105,7 +108,8 @@ def _geo_fwd_impl(geo_pyr, corr_pyr, disp, coords, radius, interpret):
 
     disp2 = disp.reshape(G, W1)
     coords2 = coords.reshape(G, W1)
-    geos = [v.reshape(G, W1, v.shape[3], C) for v in geo_pyr]
+    # d-major flatten (D_i, C) onto lanes — avoids 16x lane padding of C=8
+    geos = [v.reshape(G, W1, v.shape[3] * C) for v in geo_pyr]
     corrs = [v.reshape(G, W1, v.shape[-1]) for v in corr_pyr]
 
     kernel = functools.partial(_fwd_kernel, radius=radius, num_levels=L, C=C)
@@ -117,7 +121,7 @@ def _geo_fwd_impl(geo_pyr, corr_pyr, disp, coords, radius, interpret):
             pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ]
         + [
-            pl.BlockSpec((R, W1, v.shape[2], C), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((R, W1, v.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
             for v in geos
         ]
         + [
@@ -153,7 +157,7 @@ def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
             pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, W1, s.shape[3], C), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((R, W1, s.shape[3] * C), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
             for s in geo_shapes
         ]
         + [
@@ -161,7 +165,7 @@ def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
             for s in corr_shapes
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, W1, s.shape[3], C), s.dtype) for s in geo_shapes
+            jax.ShapeDtypeStruct((G, W1, s.shape[3] * C), s.dtype) for s in geo_shapes
         ]
         + [jax.ShapeDtypeStruct((G, W1, s.shape[-1]), s.dtype) for s in corr_shapes],
         interpret=interpret,

@@ -1,0 +1,62 @@
+"""Inference throughput for every model in the zoo at 736x1280 (single chip,
+reference eval protocols: 32 GRU iterations for the iterative models, single
+shot for GWCNet/CGI). Prints one JSON line per model."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.models import (
+        CGIStereo, CGIStereoConfig, GWCNet, GWCNetConfig,
+        IGEVStereo, IGEVStereoConfig, PCVNet, PCVNetConfig,
+        RAFTStereo, RAFTStereoConfig,
+    )
+
+    B, H, W = 1, 736, 1280
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+
+    cases = [
+        ("RAFTStereo", RAFTStereo, RAFTStereoConfig(corr_implementation="reg_cuda", fast_in_stats=True), 32),
+        ("IGEVStereo", IGEVStereo, IGEVStereoConfig(corr_implementation="reg_cuda"), 32),
+        ("CGI_Stereo", CGIStereo, CGIStereoConfig(), 0),
+        ("GWCNet", GWCNet, GWCNetConfig(), 0),
+        ("PCVNet", PCVNet, PCVNetConfig(valid_iters=32), 32),
+    ]
+    for name, cls, cfg, iters in cases:
+        try:
+            model = cls(cfg, iters=iters, test_mode=True)
+            params = model.init(jax.random.PRNGKey(0), jnp.zeros((B, 64, 64, 3)), jnp.zeros((B, 64, 64, 3)))
+            fwd = jax.jit(lambda p, a, b: model.apply(p, a, b)[1])
+            t0 = time.perf_counter()
+            np.asarray(fwd(params, img1, img2))
+            compile_s = time.perf_counter() - t0
+            np.asarray(fwd(params, img1, img2))
+            n = 5
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fwd(params, img1, img2)
+            np.asarray(out)
+            dt = (time.perf_counter() - t0) / n
+            print(json.dumps({
+                "model": name, "ms_per_frame": round(dt * 1000), "fps": round(1 / dt, 2),
+                "iters": iters, "compile_s": round(compile_s, 1),
+            }), flush=True)
+            del params, fwd
+        except Exception as e:  # keep the sweep going
+            print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
