@@ -81,6 +81,11 @@ class _IGEVIterStep(nn.Module):
             from dkt_stereo_tpu.ops.pallas.geo_lookup import geo_lookup_pallas
 
             interpret = jax.default_backend() == "cpu"
+            if not interpret:
+                # bf16 pyramids keep the per-level kernels inside the 16MB
+                # scoped-VMEM budget at eval sizes (fp32 needs ~19MB)
+                geo_pyr_g = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_g)
+                geo_pyr_c = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_c)
             geo_feat = geo_lookup_pallas(
                 tuple(geo_pyr_g), tuple(geo_pyr_c), disp, coords, cfg.corr_radius, interpret
             )

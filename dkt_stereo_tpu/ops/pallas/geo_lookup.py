@@ -3,14 +3,21 @@
 Device-side counterpart of ops/geometry.py (reference:
 meta_arch/igev_stereo/geometry.py:34-58): per iteration, sample
   (a) the C-channel geo volume along disparity at ``disp/2^i ± r``,
-  (b) the init correlation volume along width at ``(coords−disp)/2^i ± r``,
-for every pyramid level. Same streaming-row + vectorized-tap-weight design
-as corr_lookup.py (w_j = relu(1−|j−pos|) reproduces zero-padded linear
-interpolation exactly); custom VJP returns gradients for both pyramids
-(disp/coords are detached each iteration, igev_stereo.py:201).
+  (b) the init correlation volume along width at ``(coords−disp)/2^i ± r``.
+Channel order matches the XLA path: per level [geo C-major taps-fast
+(C·(2r+1)) | corr (2r+1)].
 
-Channel order matches the XLA path: per level [geo C-major (C·(2r+1)) |
-corr (2r+1)].
+Mosaic-shaped design notes (each constraint was hit in practice):
+  - geo rows are processed d-major flattened (W1, D·C): C=8 on the lane axis
+    alone pads 16× and blows VMEM; in-kernel shape casts between (W1, D·C)
+    and (W1, D, C) are unsupported, so tap weights use flattened d-indices
+    (iota // C) and the per-channel reduction / layout permutation are
+    constant one-hot matmuls;
+  - one pallas_call **per level** keeps the scoped VMEM under the 16MB limit
+    at eval sizes (all levels at once needs ~25MB with double buffering).
+
+VJP returns gradients for both pyramids (disp/coords are detached each
+iteration, igev_stereo.py:201).
 """
 
 from __future__ import annotations
@@ -25,77 +32,89 @@ from jax.experimental.pallas import tpu as pltpu
 from dkt_stereo_tpu.ops.pallas.corr_lookup import _pick_rows
 
 
-def _fwd_kernel(disp_ref, coords_ref, *refs, radius: int, num_levels: int, C: int):
-    out_ref = refs[-1]
-    geo_refs = refs[:num_levels]
-    corr_refs = refs[num_levels : 2 * num_levels]
+def _perm_kc_to_ck(taps: int, C: int) -> jnp.ndarray:
+    """(taps*C, C*taps) one-hot permutation: column k*C+c → c*taps+k."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (taps * C, C * taps), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (taps * C, C * taps), 1)
+    want = (rows % C) * taps + rows // C
+    return (cols == want).astype(jnp.float32)
+
+
+def _fwd_level_kernel(disp_ref, coords_ref, geo_ref, corr_ref, out_ref,
+                      radius: int, level: int, C: int):
     R, W1 = disp_ref.shape
     taps = 2 * radius + 1
+    scale = 1.0 / (2**level)
 
     for r in range(R):
-        outs = []
-        for i in range(num_levels):
-            # geo rows arrive d-major flattened (W1, D_i*C): C=8 on the lane
-            # axis alone would pad 16x and blow the VMEM budget at eval sizes
-            geo_flat = geo_refs[i][r].astype(jnp.float32)  # (W1, D_i*C)
-            D = geo_flat.shape[-1] // C
-            geo = geo_flat.reshape(W1, D, C)
-            jd = jax.lax.broadcasted_iota(jnp.int32, (1, D, 1), 1).astype(jnp.float32)
-            x = disp_ref[r].astype(jnp.float32) / (2**i)  # (W1,)
-            geo_taps = []
-            for k in range(taps):
-                pos = x[:, None, None] + (k - radius)  # (W1,1,1)
-                w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)  # (W1,D,1)
-                geo_taps.append(jnp.sum(geo * w, axis=1))  # (W1,C)
-            # C-major, taps fast: (W1, C, taps) → (W1, C*taps)
-            g = jnp.stack(geo_taps, axis=-1).reshape(W1, C * taps)
+        geo_flat = geo_ref[r].astype(jnp.float32)  # (W1, D*C)
+        DC = geo_flat.shape[-1]
+        jflat = jax.lax.broadcasted_iota(jnp.int32, (1, DC), 1)
+        jd = (jflat // C).astype(jnp.float32)
+        sel = (
+            (jflat % C)[0][:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0][None, :]
+        ).astype(jnp.float32)  # (DC, C)
+        x = disp_ref[r].astype(jnp.float32) * scale  # (W1,)
+        geo_taps = []
+        for k in range(taps):
+            pos = x[:, None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)
+            geo_taps.append(jnp.dot(geo_flat * w, sel, preferred_element_type=jnp.float32))
+        g_km = jnp.concatenate(geo_taps, axis=-1)  # k-major (W1, taps*C)
+        g = jnp.dot(g_km, _perm_kc_to_ck(taps, C), preferred_element_type=jnp.float32)
 
-            corr = corr_refs[i][r].astype(jnp.float32)  # (W1, W2_i)
-            W2 = corr.shape[-1]
-            jc = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
-            xc = (coords_ref[r].astype(jnp.float32) - disp_ref[r].astype(jnp.float32)) / (2**i)
-            corr_taps = []
-            for k in range(taps):
-                pos = xc[:, None] + (k - radius)
-                w = jnp.maximum(1.0 - jnp.abs(jc - pos), 0.0)
-                corr_taps.append(jnp.sum(corr * w, axis=-1))
-            c = jnp.stack(corr_taps, axis=-1)  # (W1, taps)
-            outs.append(jnp.concatenate([g, c], axis=-1))
-        out_ref[r] = jnp.concatenate(outs, axis=-1)
+        corr = corr_ref[r].astype(jnp.float32)  # (W1, W2)
+        W2 = corr.shape[-1]
+        jc = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+        xc = (coords_ref[r].astype(jnp.float32) - disp_ref[r].astype(jnp.float32)) * scale
+        corr_taps = []
+        for k in range(taps):
+            pos = xc[:, None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(jc - pos), 0.0)
+            corr_taps.append(jnp.sum(corr * w, axis=-1))
+        c = jnp.stack(corr_taps, axis=-1)
+        out_ref[r] = jnp.concatenate([g, c], axis=-1)
 
 
-def _bwd_kernel(disp_ref, coords_ref, g_ref, *drefs, radius: int, num_levels: int, C: int):
-    dgeo_refs = drefs[:num_levels]
-    dcorr_refs = drefs[num_levels:]
+def _bwd_level_kernel(disp_ref, coords_ref, g_ref, dgeo_ref, dcorr_ref,
+                      radius: int, level: int, C: int):
     R, W1 = disp_ref.shape
     taps = 2 * radius + 1
-    per_level = C * taps + taps
+    scale = 1.0 / (2**level)
 
     for r in range(R):
-        g_all = g_ref[r].astype(jnp.float32)  # (W1, L*(C*taps+taps))
-        for i in range(num_levels):
-            base = i * per_level
-            D = dgeo_refs[i].shape[-1] // C
-            jd = jax.lax.broadcasted_iota(jnp.int32, (1, D, 1), 1).astype(jnp.float32)
-            x = disp_ref[r].astype(jnp.float32) / (2**i)
-            g_geo = g_all[:, base : base + C * taps].reshape(W1, C, taps)
-            acc = jnp.zeros((W1, D, C), jnp.float32)
-            for k in range(taps):
-                pos = x[:, None, None] + (k - radius)
-                w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)  # (W1,D,1)
-                acc = acc + w * g_geo[:, None, :, k]  # (W1,D,C)
-            dgeo_refs[i][r] = acc.reshape(W1, D * C).astype(dgeo_refs[i].dtype)
+        g_all = g_ref[r].astype(jnp.float32)  # (W1, C*taps+taps)
+        DC = dgeo_ref.shape[-1]
+        jflat = jax.lax.broadcasted_iota(jnp.int32, (1, DC), 1)
+        jd = (jflat // C).astype(jnp.float32)
+        selT = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0][:, None]
+            == (jflat % C)[0][None, :]
+        ).astype(jnp.float32)  # (C, DC)
+        x = disp_ref[r].astype(jnp.float32) * scale
+        g_km = jnp.dot(
+            g_all[:, : C * taps], _perm_kc_to_ck(taps, C).T,
+            preferred_element_type=jnp.float32,
+        )  # (W1, taps*C) k-major
+        acc = jnp.zeros((W1, DC), jnp.float32)
+        for k in range(taps):
+            pos = x[:, None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)
+            g_k = g_km[:, k * C : (k + 1) * C]
+            acc = acc + w * jnp.dot(g_k, selT, preferred_element_type=jnp.float32)
+        dgeo_ref[r] = acc.astype(dgeo_ref.dtype)
 
-            W2 = dcorr_refs[i].shape[-1]
-            jc = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
-            xc = (coords_ref[r].astype(jnp.float32) - disp_ref[r].astype(jnp.float32)) / (2**i)
-            g_corr = g_all[:, base + C * taps : base + per_level]  # (W1, taps)
-            acc_c = jnp.zeros((W1, W2), jnp.float32)
-            for k in range(taps):
-                pos = xc[:, None] + (k - radius)
-                w = jnp.maximum(1.0 - jnp.abs(jc - pos), 0.0)
-                acc_c = acc_c + g_corr[:, k : k + 1] * w
-            dcorr_refs[i][r] = acc_c.astype(dcorr_refs[i].dtype)
+        W2 = dcorr_ref.shape[-1]
+        jc = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+        xc = (coords_ref[r].astype(jnp.float32) - disp_ref[r].astype(jnp.float32)) * scale
+        g_corr = g_all[:, C * taps :]  # (W1, taps)
+        acc_c = jnp.zeros((W1, W2), jnp.float32)
+        for k in range(taps):
+            pos = xc[:, None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(jc - pos), 0.0)
+            acc_c = acc_c + g_corr[:, k : k + 1] * w
+        dcorr_ref[r] = acc_c.astype(dcorr_ref.dtype)
 
 
 def _geo_fwd_impl(geo_pyr, corr_pyr, disp, coords, radius, interpret):
@@ -104,35 +123,31 @@ def _geo_fwd_impl(geo_pyr, corr_pyr, disp, coords, radius, interpret):
     G = B * H
     R = _pick_rows(G)
     taps = 2 * radius + 1
-    K = L * (C * taps + taps)
 
     disp2 = disp.reshape(G, W1)
     coords2 = coords.reshape(G, W1)
-    # d-major flatten (D_i, C) onto lanes — avoids 16x lane padding of C=8
-    geos = [v.reshape(G, W1, v.shape[3] * C) for v in geo_pyr]
-    corrs = [v.reshape(G, W1, v.shape[-1]) for v in corr_pyr]
-
-    kernel = functools.partial(_fwd_kernel, radius=radius, num_levels=L, C=C)
-    out = pl.pallas_call(
-        kernel,
-        grid=(G // R,),
-        in_specs=[
-            pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ]
-        + [
-            pl.BlockSpec((R, W1, v.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-            for v in geos
-        ]
-        + [
-            pl.BlockSpec((R, W1, v.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-            for v in corrs
-        ],
-        out_specs=pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, W1, K), jnp.float32),
-        interpret=interpret,
-    )(disp2, coords2, *geos, *corrs)
-    return out.reshape(B, H, W1, K)
+    outs = []
+    for i in range(L):
+        geo = geo_pyr[i].reshape(G, W1, geo_pyr[i].shape[3] * C)
+        corr = corr_pyr[i].reshape(G, W1, corr_pyr[i].shape[-1])
+        kernel = functools.partial(_fwd_level_kernel, radius=radius, level=i, C=C)
+        out = pl.pallas_call(
+            kernel,
+            grid=(G // R,),
+            in_specs=[
+                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1, geo.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1, corr.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (R, W1, C * taps + taps), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((G, W1, C * taps + taps), jnp.float32),
+            interpret=interpret,
+        )(disp2, coords2, geo, corr)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=-1).reshape(B, H, W1, L * (C + 1) * taps)
 
 
 def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
@@ -141,38 +156,39 @@ def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
     G = B * H
     R = _pick_rows(G)
     taps = 2 * radius + 1
-    K = L * (C * taps + taps)
+    per_level = C * taps + taps
 
     disp2 = disp.reshape(G, W1)
     coords2 = coords.reshape(G, W1)
-    g2 = g.reshape(G, W1, K)
+    g2 = g.reshape(G, W1, L * per_level)
 
-    kernel = functools.partial(_bwd_kernel, radius=radius, num_levels=L, C=C)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(G // R,),
-        in_specs=[
-            pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((R, W1, s.shape[3] * C), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-            for s in geo_shapes
-        ]
-        + [
-            pl.BlockSpec((R, W1, s.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-            for s in corr_shapes
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, W1, s.shape[3] * C), s.dtype) for s in geo_shapes
-        ]
-        + [jax.ShapeDtypeStruct((G, W1, s.shape[-1]), s.dtype) for s in corr_shapes],
-        interpret=interpret,
-    )(disp2, coords2, g2)
-    dgeos = tuple(d.reshape(s.shape) for d, s in zip(outs[:L], geo_shapes))
-    dcorrs = tuple(d.reshape(s.shape) for d, s in zip(outs[L:], corr_shapes))
-    return dgeos, dcorrs
+    dgeos, dcorrs = [], []
+    for i in range(L):
+        DC = geo_shapes[i].shape[3] * C
+        W2 = corr_shapes[i].shape[-1]
+        g_lvl = g2[..., i * per_level : (i + 1) * per_level]
+        kernel = functools.partial(_bwd_level_kernel, radius=radius, level=i, C=C)
+        dgeo, dcorr = pl.pallas_call(
+            kernel,
+            grid=(G // R,),
+            in_specs=[
+                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1, per_level), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((R, W1, DC), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1, W2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((G, W1, DC), geo_shapes[i].dtype),
+                jax.ShapeDtypeStruct((G, W1, W2), corr_shapes[i].dtype),
+            ],
+            interpret=interpret,
+        )(disp2, coords2, g_lvl)
+        dgeos.append(dgeo.reshape(geo_shapes[i].shape))
+        dcorrs.append(dcorr.reshape(corr_shapes[i].shape))
+    return tuple(dgeos), tuple(dcorrs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
