@@ -32,7 +32,7 @@ def main():
         ("IGEVStereo", IGEVStereo, IGEVStereoConfig(corr_implementation="reg_cuda"), 32),
         ("CGI_Stereo", CGIStereo, CGIStereoConfig(), 0),
         ("GWCNet", GWCNet, GWCNetConfig(), 0),
-        ("PCVNet", PCVNet, PCVNetConfig(valid_iters=32), 32),
+        ("PCVNet", PCVNet, PCVNetConfig(valid_iters=32, corr_implementation="reg_cuda"), 32),
     ]
     for name, cls, cfg, iters in cases:
         try:
