@@ -95,3 +95,59 @@ def test_metrics_library(rng):
     tiny_mask = np.zeros_like(gt, bool)
     tiny_mask[:, 0, 0] = True
     assert EPE_metric(est, gt, tiny_mask) == 0.0 or True  # skipped images -> 0
+
+
+def _make_middlebury(tmp_path, rng, const_disp=11.0):
+    from dkt_stereo_tpu.data.readers import writePFM
+
+    root = tmp_path / "Middlebury"
+    H, W = 48, 80
+    for name in ("Adirondack", "Jadeplant"):
+        d = root / "MiddEval3" / "trainingH" / name
+        os.makedirs(d)
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        Image.fromarray(img).save(d / "im0.png")
+        Image.fromarray(img).save(d / "im1.png")
+        writePFM(str(d / "disp0GT.pfm"), np.full((H, W), const_disp, np.float32))
+        occ = np.full((H, W), 255, np.uint8)
+        occ[:, :8] = 128  # occluded band
+        Image.fromarray(occ).save(d / "mask0nocc.png")
+    return str(root)
+
+
+def test_validate_middlebury_oracle(tmp_path, rng):
+    from dkt_stereo_tpu.eval.validate import validate_middlebury
+
+    root = _make_middlebury(tmp_path, rng, const_disp=11.0)
+    res = validate_middlebury(_oracle(11.0), resolution="H", data_root=root)
+    assert res["middleburyH-epe"] < 1e-5
+    assert res["middleburyH-d1"] == 0.0
+    # 2px threshold: a 1.5px-off oracle scores 0 D1 but epe 1.5
+    res2 = validate_middlebury(_oracle(12.5), resolution="H", data_root=root)
+    np.testing.assert_allclose(res2["middleburyH-epe"], 1.5, atol=1e-4)
+    assert res2["middleburyH-d1"] == 0.0
+    res3 = validate_middlebury(_oracle(14.0), resolution="H", data_root=root)
+    assert res3["middleburyH-d1"] == 100.0
+
+
+def _make_booster(tmp_path, rng, const_disp=7.0):
+    root = tmp_path / "Booster_dataset" / "quarter" / "train" / "balanced" / "scene0"
+    H, W = 40, 64
+    os.makedirs(root / "camera_00")
+    os.makedirs(root / "camera_02")
+    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    Image.fromarray(img).save(root / "camera_00" / "0000.png")
+    Image.fromarray(img).save(root / "camera_02" / "0000.png")
+    np.save(root / "disp_00.npy", np.full((H, W), const_disp, np.float32))
+    return str(tmp_path / "Booster_dataset")
+
+
+def test_validate_booster_oracle(tmp_path, rng):
+    from dkt_stereo_tpu.eval.validate import validate_booster
+
+    root = _make_booster(tmp_path, rng, const_disp=7.0)
+    res = validate_booster(_oracle(7.0), resolution="Q", data_root=root)
+    assert res["Booster-epe"] < 1e-5
+    assert res["Booster-d1"] == 0.0
+    res2 = validate_booster(_oracle(10.0), resolution="Q", data_root=root)  # 3px off
+    assert res2["Booster-d1"] == 100.0  # >2px threshold
