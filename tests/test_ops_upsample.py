@@ -47,3 +47,37 @@ def test_context_upsample_matches_torch(rng):
     unfold = F.interpolate(unfold, (H * 4, W * 4), mode="nearest").reshape(B, 9, H * 4, W * 4)
     theirs = (unfold * t_w).sum(1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_gauss_blur_matches_torch(rng):
+    from dkt_stereo_tpu.ops.misc import gauss_blur
+
+    B, H, W, C = 1, 9, 11, 3
+    x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    ours = np.asarray(gauss_blur(jnp.asarray(x), N=5, std=1.0))
+
+    # reference semantics (core/utils/utils.py:87-94): per-channel 2D gaussian
+    # conv, window normalized by clamped sum, 'same' zero padding
+    g1 = np.arange(5, dtype=np.float64) - 2
+    gx, gy = np.meshgrid(g1, g1, indexing="ij")
+    w = np.exp(-(gx**2 + gy**2) / 2.0)
+    w = (w / max(w.sum(), 1e-4)).astype(np.float32)
+    t_x = torch.from_numpy(x).permute(0, 3, 1, 2)
+    t_w = torch.from_numpy(w)[None, None].repeat(C, 1, 1, 1)
+    theirs = F.conv2d(t_x, t_w, padding=2, groups=C).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    # blur preserves the mean away from borders
+    np.testing.assert_allclose(ours[:, 4, 5].mean(), x[:, 2:7, 3:8].mean(), atol=0.5)
+
+
+def test_forward_interpolate_roundtrip():
+    from dkt_stereo_tpu.ops.misc import forward_interpolate
+
+    H, W = 8, 10
+    flow = np.zeros((2, H, W), np.float32)
+    flow[0] = 2.0  # uniform shift right
+    out = forward_interpolate(flow)
+    assert out.shape == (2, H, W)
+    # splatting a uniform flow then nearest-filling reproduces it everywhere
+    np.testing.assert_allclose(out[0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-5)
