@@ -58,3 +58,35 @@ def test_collate_mixed(rng):
     assert data["im1_forward"].shape == (3, 8, 8, 3)
     assert data["bi"]["flow"].shape == (2, 8, 8)
     assert data["tri"]["conf"].shape == (1, 8, 8)
+
+
+def test_all_shipped_configs_resolve():
+    """Every configs/**/*.json names a registered model whose config class
+    accepts it and whose model constructs (catches shipped-config typos the
+    CLIs would only hit after minutes of compile)."""
+    import argparse
+    import glob
+    import os
+
+    from dkt_stereo_tpu.cli.config import load_model_config, merge_config
+    from dkt_stereo_tpu.models import get_model
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*", "*.json")))
+    assert len(paths) >= 8
+    for path in paths:
+        config = load_model_config(path)
+        model_cls, cfg_cls, loss_adapter = get_model(config["model"])
+        cfg = cfg_cls.from_dict(config)
+        model = model_cls(cfg, iters=2, test_mode=True)
+        assert model is not None and loss_adapter is not None, path
+
+    # CLI merge rule: flat union, strict-disjoint (ref tools/ft_dkt.py:347-350)
+    args = argparse.Namespace(restore_ckpt="x.pth", valid_iters=32)
+    merged = merge_config(args, {"model": "RAFTStereo", "hidden_dims": [128] * 3})
+    assert merged.model == "RAFTStereo" and merged.valid_iters == 32
+    try:
+        merge_config(args, {"valid_iters": 16})
+        raise AssertionError("clashing key must raise")
+    except ValueError as e:
+        assert "valid_iters" in str(e)
