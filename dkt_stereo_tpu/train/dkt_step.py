@@ -53,12 +53,16 @@ def create_dkt_state(
     if teacher_params is None:
         teacher_params = params
     tx, _ = make_optimizer(hyper)
+    # Optimizer state exists only for the trainable 'params' collection:
+    # batch_stats are frozen buffers exactly as in the reference, where
+    # freeze_bn puts BN in eval mode and the buffers receive no grads
+    # (meta_arch/raft_stereo/raft_stereo.py:56-59, tools/ft_dkt.py:155-167).
     return DKTTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         ema_params=params,
         teacher_params=teacher_params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(params["params"]),
     )
 
 
@@ -111,8 +115,15 @@ def make_dkt_train_step(
             pl_aug, disp_ema, valid_pl_aug, k_epl, clamp=False, threshold=hyper.tau_pl
         )
 
-        # 4./5. student forward + combined loss
-        def loss_fn(params):
+        # 4./5. student forward + combined loss. Grads are taken over the
+        # trainable 'params' collection ONLY; every other collection
+        # (batch_stats, …) is a frozen buffer that the optimizer never
+        # touches — the jit-level equivalent of the reference's freeze_bn
+        # eval-mode buffers (tools/ft_dkt.py:155-167).
+        frozen = {k: v for k, v in state.params.items() if k != "params"}
+
+        def loss_fn(trainable):
+            params = {"params": trainable, **frozen}
             flow_init = None
             loss_dw2_gt = loss_dw2_pl = 0.0
             if hyper.cascade_train:
@@ -142,12 +153,13 @@ def make_dkt_train_step(
 
         (loss, (metrics, ok, loss_gt, loss_pl)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(state.params["params"])
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
+        updates, opt_state = tx.update(grads, state.opt_state, state.params["params"])
+        new_trainable = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params["params"], updates
         )
+        new_params = {"params": new_trainable, **frozen}
 
         def pick(new, old):
             return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, old)

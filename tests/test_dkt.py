@@ -163,6 +163,49 @@ def test_dkt_train_step_end_to_end(rng):
     assert int(state2.step) == 2
 
 
+def test_dkt_train_step_freezes_batch_stats(rng):
+    """Regression: with context_norm='batch', BN running stats are frozen
+    buffers — the optimizer must never touch them (the reference's freeze_bn,
+    tools/ft_dkt.py:155-167). Round-1 bug: AdamW(+wdecay) was applied to the
+    whole variables dict, so batch_stats drifted every step."""
+    cfg = RAFTStereoConfig(mixed_precision=False, context_norm="batch")
+    hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100)
+    B, H, W = 1, 32, 64
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W))
+    assert "batch_stats" in state.params
+    # optimizer state exists only for the trainable collection
+    n_trainable = len(jax.tree_util.tree_leaves(state.params["params"]))
+    adamw_state = state.opt_state[1][0]  # chain(clip, adamw) -> ScaleByAdamState
+    assert len(jax.tree_util.tree_leaves(adamw_state.mu)) == n_trainable
+    batch = {
+        "img1": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img1_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "flow": jnp.asarray(-rng.uniform(0, 20, (B, H, W)).astype(np.float32)),
+        "valid": jnp.ones((B, H, W), jnp.float32),
+    }
+    step_fn = make_dkt_train_step(cfg, hyper)
+    state1, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    state2, _ = step_fn(state1, batch, jax.random.PRNGKey(2))
+    # trainable weights moved ...
+    p0 = jax.tree_util.tree_leaves(state.params["params"])[0]
+    p2 = jax.tree_util.tree_leaves(state2.params["params"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2))
+    # ... but every batch_stats leaf is BIT-identical after two steps
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params["batch_stats"]),
+        jax.tree_util.tree_leaves(state2.params["batch_stats"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # EMA/teacher batch_stats stay identical too (lerp of equal values)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.ema_params["batch_stats"]),
+        jax.tree_util.tree_leaves(state2.ema_params["batch_stats"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dkt_train_step_cascade(rng):
     cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance")
     hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100, cascade_train=True)
