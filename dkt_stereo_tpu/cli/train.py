@@ -26,6 +26,11 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", default="runs/debug")
     p.add_argument("--restore_ckpt", default=None)
     p.add_argument("--restore_ckpt_T", default=None)
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="raw timm mobilenetv2_100 checkpoint (.pth/.npz) for "
+                        "the IGEV/CGI trunk (the reference's "
+                        "timm pretrained=True, extractor.py:330); applied "
+                        "when no full --restore_ckpt is given")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--train_datasets", nargs="+", default=["sceneflow"])
     p.add_argument("--lr", type=float, default=2e-4)
@@ -49,10 +54,21 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--validation_frequency", type=int, default=1000)
+    # multi-host DP (DCN): one process per host, same command + distinct
+    # --process_id on every host (jax.distributed bring-up)
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0, e.g. 10.0.0.1:1234")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
 def train(args) -> str:
+    # multi-host bring-up must precede any other jax call (device discovery)
+    from dkt_stereo_tpu.parallel import initialize_multihost
+
+    initialize_multihost(args.coordinator_address, args.num_processes, args.process_id)
+
     import jax
     import jax.numpy as jnp
 
@@ -121,6 +137,14 @@ def train(args) -> str:
 
     H, W = args.image_size
     state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(args.seed), (args.batch_size, H, W), model_cls=model_cls)
+
+    if args.pretrained_backbone and not args.restore_ckpt:
+        from dkt_stereo_tpu.train.checkpoint import import_timm_mobilenetv2
+
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, import_timm_mobilenetv2(args.pretrained_backbone, state.params)
+        )
+        state = state.replace(params=variables, ema_params=variables, teacher_params=variables)
 
     if args.restore_ckpt:
         if args.restore_ckpt.endswith(".pth"):

@@ -12,7 +12,8 @@ TPU ingest path:
     every global batch (same global shuffle via the shared epoch seed), so
     ``batch_size`` here is the GLOBAL batch; the host materializes B/num_hosts
     rows which the caller device_puts onto its local mesh slice,
-  - a bounded prefetch queue overlaps augmentation with device compute.
+  - bounded prefetch (semaphore permits) overlaps augmentation with device
+    compute while capping produced-but-unconsumed batches at ``prefetch``.
 """
 
 from __future__ import annotations
@@ -96,8 +97,26 @@ class StereoLoader:
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
             local = chunk[self.host_id * self.local_batch : (self.host_id + 1) * self.local_batch]
             jobs.append((local, (self.seed, self.epoch, self.host_id, b)))
-        for batch in self._pool.map(_proc_batch, jobs, chunksize=1):
-            yield batch
+        # Sliding submit window: ≤ num_workers running + ≤ prefetch completed
+        # batches buffered ahead of the consumer (pool.map would schedule the
+        # whole epoch and buffer every completed batch).
+        from collections import deque
+
+        window: deque = deque()
+        it = iter(jobs)
+        try:
+            for job in it:
+                window.append(self._pool.submit(_proc_batch, job))
+                if len(window) >= self.prefetch + self.num_workers:
+                    break
+            while window:
+                yield window.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    window.append(self._pool.submit(_proc_batch, nxt))
+        finally:
+            for f in window:
+                f.cancel()
         self.epoch += 1
 
     def __iter__(self) -> Iterator[dict]:
@@ -106,7 +125,6 @@ class StereoLoader:
         if self.use_processes:
             yield from self._iter_processes(indices, nb)
             return
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()
 
         # batch b, local rows [host_id*local : (host_id+1)*local]
@@ -118,15 +136,28 @@ class StereoLoader:
         results: dict[int, dict] = {}
         results_lock = threading.Lock()
         stop = threading.Event()
+        # Backpressure: a worker must hold one of `prefetch` permits from the
+        # moment it starts augmenting a batch until the consumer takes it, so
+        # produced-but-unconsumed batches never exceed `prefetch` (the bound
+        # torch gets from DataLoader's prefetch_factor,
+        # core/stereo_datasets.py:537-538).
+        permits = threading.Semaphore(self.prefetch)
 
         def worker(wid: int):
             rng = np.random.default_rng(
                 (self.seed, self.epoch, self.host_id, wid)
             )
             while not stop.is_set():
+                # permit BEFORE job pickup: since job_q is drained in order,
+                # permit holders are always the earliest pending batches —
+                # the consumer (in-order) can always make progress.
+                while not permits.acquire(timeout=0.05):
+                    if stop.is_set():
+                        return
                 try:
                     b, local = job_q.get_nowait()
                 except queue.Empty:
+                    permits.release()
                     return
                 samples = [self.dataset.get_sample(int(i), rng) for i in local]
                 batch = {
@@ -156,6 +187,7 @@ class StereoLoader:
                     else:
                         threading.Event().wait(0.005)
                         continue
+                permits.release()
                 yield batch
                 next_b += 1
         finally:

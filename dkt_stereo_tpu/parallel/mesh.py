@@ -25,17 +25,30 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     devices=None,
+    axis_sizes: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
+    """Mesh over the first ``n_devices`` devices.
+
+    Multi-axis meshes take their shape from ``axis_sizes`` (a ``-1`` entry is
+    inferred, numpy-reshape style); with no ``axis_sizes`` the trailing axes
+    get as many devices as divide evenly, preferring the LAST axis — for
+    ('data','spatial') that puts adjacent devices on 'spatial', so the
+    halo/stat collectives of H-dim sharding ride neighbor ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
     if len(axis_names) == 1:
         shape = (n,)
+    elif axis_sizes is not None:
+        assert len(axis_sizes) == len(axis_names), (axis_sizes, axis_names)
+        shape = tuple(axis_sizes)
     else:
-        # fill trailing axes greedily; default: all devices on the first axis
-        shape = (n,) + (1,) * (len(axis_names) - 1)
+        # split evenly: last axis gets the largest power-of-two factor ≤ √n
+        last = 1
+        while last * 2 <= max(1, int(n**0.5)) and n % (last * 2) == 0:
+            last *= 2
+        shape = (n // last,) + (1,) * (len(axis_names) - 2) + (last,)
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 

@@ -269,6 +269,117 @@ def _norm_scope(tree: dict, scope: list[str]):
     return None
 
 
+def _find_trunk_scope(params: dict, prefix=()) -> list[str] | None:
+    """Depth-first search for the MobileNetV2 trunk subtree (the dict that
+    owns 'conv_stem'): ['feature', 'trunk'] in IGEV, ['feature_trunk'] in
+    CGI."""
+    for k, v in params.items():
+        if not isinstance(v, dict):
+            continue
+        if "conv_stem" in v:
+            return list(prefix) + [k]
+        found = _find_trunk_scope(v, prefix + (k,))
+        if found is not None:
+            return found
+    return None
+
+
+def import_timm_mobilenetv2(path_or_state, template_vars: dict) -> dict:
+    """Load a RAW timm ``mobilenetv2_100`` checkpoint into the MobileNetV2
+    trunk of an IGEV/CGI variables tree (the ImageNet-pretrained trunk the
+    reference gets from ``timm.create_model(..., pretrained=True)``,
+    meta_arch/igev_stereo/extractor.py:330, meta_arch/cgi/CGI_Stereo.py:44).
+
+    Accepts a ``.pth`` path (torch pickle), an ``.npz`` path, or a dict of
+    arrays/tensors. Strict against the vendored manifest
+    (nn/mobilenetv2_manifest.py): every feature tensor of stages 0..5 must
+    be present, shape-correct, and placed; stage-6/classifier-head tensors —
+    which the reference discards by slicing ``model.blocks[0:6]``
+    (extractor.py:338-342) — are tolerated and ignored. Returns a full copy
+    of ``template_vars`` with the trunk leaves replaced."""
+    import copy
+
+    from dkt_stereo_tpu.nn.mobilenetv2_manifest import (
+        HEAD_KEY_PREFIXES,
+        timm_mobilenetv2_100_manifest,
+    )
+
+    if isinstance(path_or_state, (str, os.PathLike)):
+        p = os.fspath(path_or_state)
+        if p.endswith(".npz"):
+            state = dict(np.load(p))
+        else:
+            import torch
+
+            state = torch.load(p, map_location="cpu", weights_only=True)
+            if "state_dict" in state:
+                state = state["state_dict"]
+    else:
+        state = path_or_state
+
+    def as_np(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    manifest = timm_mobilenetv2_100_manifest()
+    needed = {
+        k: s
+        for k, s in manifest.items()
+        if not k.startswith("blocks.6.") and not k.endswith("num_batches_tracked")
+    }
+    missing = sorted(set(needed) - set(state))
+    if missing:
+        raise ValueError(f"checkpoint is missing mobilenetv2 tensors: {missing[:10]}")
+
+    trunk = _find_trunk_scope(template_vars.get("params", {}))
+    if trunk is None:
+        raise ValueError("template has no MobileNetV2 trunk (no conv_stem found)")
+
+    out = copy.deepcopy(template_vars)
+    placed = []
+    for key, tensor in state.items():
+        if (
+            key.startswith(HEAD_KEY_PREFIXES)
+            or key.startswith("blocks.6.")
+            or key.endswith("num_batches_tracked")
+        ):
+            continue
+        arr = as_np(tensor)
+        if key in manifest and tuple(arr.shape) != tuple(manifest[key]):
+            raise ValueError(f"{key}: shape {arr.shape} != manifest {manifest[key]}")
+        # timm 'blocks.S.B.rest' -> flax 'blocks_S_B.rest'
+        tokens = key.split(".")
+        if tokens[0] == "blocks":
+            tokens = ["blocks_{}_{}".format(tokens[1], tokens[2])] + tokens[3:]
+        *rel_scope, leaf = tokens
+        path, value = _resolve_leaf(template_vars, trunk + rel_scope, leaf, arr)
+        if path is None:
+            raise ValueError(f"cannot place mobilenetv2 tensor {key}")
+        target = _get(template_vars, path)
+        assert target.shape == value.shape, (key, path, target.shape, value.shape)
+        _set(out, path, value.astype(np.asarray(target).dtype))
+        placed.append(path)
+
+    # every trunk leaf (params + batch_stats) must have been overwritten
+    placed_set = {tuple(p) for p in placed}
+    unfilled = []
+    for coll in ("params", "batch_stats"):
+        sub = _get(template_vars, [coll, *trunk])
+        if sub is None:
+            continue
+
+        def walk(d, prefix):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    walk(v, prefix + [k])
+                elif tuple(prefix + [k]) not in placed_set:
+                    unfilled.append("/".join(prefix + [k]))
+
+        walk(sub, [coll, *trunk])
+    if unfilled:
+        raise ValueError(f"trunk leaves not covered by checkpoint: {unfilled[:10]}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Orbax native checkpointing of DKTTrainState
 # ---------------------------------------------------------------------------

@@ -107,6 +107,41 @@ def _make_kitti_tree(tmp_path, rng, n=4):
     return str(tmp_path / "KITTI")
 
 
+def test_loader_backpressure():
+    """Produced-but-unconsumed batches never exceed ``prefetch`` while a slow
+    consumer drains (the torch DataLoader bound the loader replaces,
+    core/stereo_datasets.py:537-538)."""
+    import threading
+    import time
+
+    started = [0]
+    lock = threading.Lock()
+
+    class CountingDataset:
+        def __len__(self):
+            return 24
+
+        def get_sample(self, i, rng):
+            with lock:
+                started[0] += 1  # one sample per batch → batches started
+            return {"img1": np.zeros((4, 4, 3), np.float32)}
+
+    ds = CountingDataset()
+    prefetch = 2
+    loader = StereoLoader(
+        ds, batch_size=1, num_workers=6, seed=0, shuffle=False, prefetch=prefetch
+    )
+    consumed = 0
+    max_inflight = 0
+    for _ in loader:
+        consumed += 1
+        time.sleep(0.02)  # slow consumer: give workers time to run ahead
+        with lock:
+            max_inflight = max(max_inflight, started[0] - consumed)
+    assert consumed == 24
+    assert max_inflight <= prefetch, max_inflight
+
+
 def test_kitti_dataset_and_loader(tmp_path, rng):
     root = _make_kitti_tree(tmp_path, rng)
     aug = {"crop_size": (64, 128), "min_scale": -0.2, "max_scale": 0.4,
