@@ -181,6 +181,10 @@ class CGIStereo(nn.Module):
         spx_pred = jax.nn.softmax(spx_pred.astype(jnp.float32), axis=-1)
 
         cost_hw = cost[..., 0].transpose(0, 2, 3, 1).astype(jnp.float32)  # (B,H4,W4,D4)
+        # pre-regression cost, exposed for hard-bound parity tests (the final
+        # disparity additionally depends on top-2 tie-breaks that are fp-order
+        # sensitive; the cost itself is not)
+        self.sow("intermediates", "cost_volume", cost_hw)
         samples = jnp.broadcast_to(
             jnp.arange(D4, dtype=jnp.float32), cost_hw.shape
         )

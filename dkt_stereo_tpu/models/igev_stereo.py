@@ -32,7 +32,7 @@ from dkt_stereo_tpu.nn.igev_blocks import (
     IGEVFeature,
 )
 from dkt_stereo_tpu.nn.igev_update import BasicMultiUpdateBlockIGEV
-from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume
+from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume, geo_lookup
 from dkt_stereo_tpu.ops.upsample import context_upsample
 from dkt_stereo_tpu.ops.volumes import build_gwc_volume, disparity_regression
 
@@ -90,12 +90,9 @@ class _IGEVIterStep(nn.Module):
                 tuple(geo_pyr_g), tuple(geo_pyr_c), disp, coords, cfg.corr_radius, interpret
             )
         else:
-            geo_fn = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
-            geo_fn.num_levels = cfg.corr_levels
-            geo_fn.radius = cfg.corr_radius
-            geo_fn.geo_pyramid = list(geo_pyr_g)
-            geo_fn.init_corr_pyramid = list(geo_pyr_c)
-            geo_feat = geo_fn(disp, coords)
+            geo_feat = geo_lookup(
+                list(geo_pyr_g), list(geo_pyr_c), disp, coords, cfg.corr_radius
+            )
 
         block = BasicMultiUpdateBlockIGEV(cfg.n_gru_layers, cfg.hidden_dims, dt, name="update_block")
         if cfg.n_gru_layers == 3 and cfg.slow_fast_gru:

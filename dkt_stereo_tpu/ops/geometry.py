@@ -29,6 +29,29 @@ def _sample_channel_rows(rows: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(B, H, W, C * K)
 
 
+def geo_lookup(
+    geo_pyramid,
+    init_corr_pyramid,
+    disp: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+) -> jnp.ndarray:
+    """Pure per-iteration sampling over explicit pyramids.
+
+    geo_pyramid: per-level (B,H,W,Disp,C); init_corr_pyramid: per-level
+    (B,H,W,W2); disp, coords: (B,H,W,1) → (B,H,W, L·(2r+1)·(C+1)) fp32.
+    Takes the pyramids explicitly so scan bodies can call it on carried
+    constants (no object construction inside traced code)."""
+    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    out = []
+    for i, (geo, ic) in enumerate(zip(geo_pyramid, init_corr_pyramid)):
+        x_geo = disp.astype(jnp.float32) / (2**i) + dx  # (B,H,W,2r+1)
+        out.append(_sample_channel_rows(geo, x_geo))
+        x_corr = (coords.astype(jnp.float32) - disp.astype(jnp.float32)) / (2**i) + dx
+        out.append(sample_row_1d(ic, x_corr))
+    return jnp.concatenate(out, axis=-1)
+
+
 class CombinedGeoEncodingVolume:
     """Functional port: construct once per forward, call per iteration."""
 
@@ -51,12 +74,6 @@ class CombinedGeoEncodingVolume:
 
     def __call__(self, disp: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         """disp, coords: (B,H,W,1) → (B,H,W, L·(2r+1)·(C+1)) fp32."""
-        r = self.radius
-        dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-        out = []
-        for i in range(self.num_levels):
-            x_geo = disp.astype(jnp.float32) / (2**i) + dx  # (B,H,W,2r+1)
-            out.append(_sample_channel_rows(self.geo_pyramid[i], x_geo))
-            x_corr = (coords.astype(jnp.float32) - disp.astype(jnp.float32)) / (2**i) + dx
-            out.append(sample_row_1d(self.init_corr_pyramid[i], x_corr))
-        return jnp.concatenate(out, axis=-1)
+        return geo_lookup(
+            self.geo_pyramid, self.init_corr_pyramid, disp, coords, self.radius
+        )
