@@ -87,7 +87,7 @@ class _IterStep(nn.Module):
     collect_up: bool  # train mode: emit upsampled disp each step
 
     @nn.compact
-    def __call__(self, carry, consts):
+    def __call__(self, carry, consts, is_last):
         cfg = self.cfg
         net, coords1x, _ = carry
         pyramid, inp, coords0x, fmap1 = consts
@@ -128,6 +128,9 @@ class _IterStep(nn.Module):
             flow2.astype(dt),
             iter32=cfg.n_gru_layers == 3,
             iter16=cfg.n_gru_layers >= 2,
+            # test mode: only the final iteration's mask is consumed
+            # (raft_stereo.py:168-177) — skip the head on the others
+            mask_pred=None if self.collect_up else is_last,
         )
         # stereo: epipolar projection — only the x component of delta survives
         coords1x = coords1x + delta[..., 0:1].astype(jnp.float32)
@@ -238,14 +241,17 @@ class RAFTStereo(nn.Module):
             _IterStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=nn.broadcast,
+            in_axes=(nn.broadcast, 0),
             out_axes=0,
             length=self.iters,
         )
         step = Scan(cfg, collect, name="step")
         mask0 = jnp.zeros((B, Hc, Wc, factor**2 * 9), cfg.compute_dtype)
+        is_last = jnp.arange(self.iters) == self.iters - 1
         (net, coords1x, up_mask), ys = step(
-            (net, coords1x, mask0), (pyramid, inp, coords0x, fmap1.astype(jnp.float32))
+            (net, coords1x, mask0),
+            (pyramid, inp, coords0x, fmap1.astype(jnp.float32)),
+            is_last,
         )
 
         if self.test_mode:

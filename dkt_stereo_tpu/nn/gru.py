@@ -166,6 +166,7 @@ class BasicMultiUpdateBlock(nn.Module):
         iter16=True,
         iter32=True,
         update=True,
+        mask_pred=None,
     ):
         hd = self.hidden_dims
         net = list(net)
@@ -204,7 +205,36 @@ class BasicMultiUpdateBlock(nn.Module):
 
         delta_flow = FlowHead(256, 2, self.dtype, name="flow_head")(net[0])
         factor = 2**self.n_downsample
-        mask = nn.relu(conv(256, 3, 1, 1, self.dtype, name="mask_conv1")(net[0]))
-        mask = conv(factor**2 * 9, 1, 1, 0, self.dtype, name="mask_conv2")(mask)
-        mask = 0.25 * mask  # gradient balancing, core/update.py:137
+
+        # Mask head as raw params (nn.Conv tree layout) so the computation
+        # can sit under a lax.cond: in test mode only the FINAL iteration's
+        # mask is consumed (raft_stereo.py:168-177 discards the rest), and
+        # the head is ~30% of the per-iteration cost at eval sizes.
+        n0 = net[0].shape[-1]
+        k1, b1 = _ConvParams(256, n0, 3, name="mask_conv1")()
+        k2, b2 = _ConvParams(factor**2 * 9, 256, 1, name="mask_conv2")()
+
+        def _mask_head(net0):
+            dt = self.dtype
+            m = jax.lax.conv_general_dilated(
+                net0.astype(dt), k1.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b1.astype(dt)
+            m = jax.lax.conv_general_dilated(
+                nn.relu(m), k2.astype(dt), (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b2.astype(dt)
+            return 0.25 * m  # gradient balancing, core/update.py:137
+
+        if mask_pred is None:
+            mask = _mask_head(net[0])
+        else:
+            mask = jax.lax.cond(
+                mask_pred,
+                _mask_head,
+                lambda net0: jnp.zeros(
+                    net[0].shape[:3] + (factor**2 * 9,), self.dtype
+                ),
+                net[0],
+            )
         return tuple(net), mask, delta_flow
