@@ -23,10 +23,10 @@ def main():
 
     # Perf-mode config: bf16 compute, bf16-stored volume, fused Pallas
     # pyramid lookup ("reg_cuda" = the TPU analogue of the reference's CUDA
-    # corr_sampler; 6x faster than the XLA gather path here), subsampled
-    # instance-norm statistics in the feature encoder. Accuracy evaluation
-    # (cli/eval.py) uses the exact default config.
-    cfg = RAFTStereoConfig(corr_implementation="reg_cuda", fast_in_stats=True)
+    # corr_sampler; 6x faster than the XLA gather path here) and the fused
+    # Pallas encoder chain (exact instance-norm statistics). Accuracy
+    # evaluation (cli/eval.py) uses the exact default config.
+    cfg = RAFTStereoConfig(corr_implementation="reg_cuda", pallas_encoder=True)
     model = RAFTStereo(cfg, iters=32, test_mode=True)
 
     B, H, W = 1, 736, 1280

@@ -68,6 +68,11 @@ class RAFTStereoConfig:
     # TPU extension: subsampled instance-norm statistics in the feature
     # encoder (perf mode; ~1e-3 relative feature drift). False = exact.
     fast_in_stats: bool = False
+    # TPU extension: run the encoders' full-resolution section as the fused
+    # Pallas w2d kernel chain (ops/pallas/encoder_conv.py). Inference-only
+    # (the kernel has no VJP); exact instance-norm statistics; numerics
+    # match the XLA path to bf16 accumulation order.
+    pallas_encoder: bool = False
 
     @property
     def compute_dtype(self):
@@ -173,6 +178,7 @@ class RAFTStereo(nn.Module):
             num_layers=cfg.n_gru_layers,
             dtype=dt,
             name="cnet",
+            fused_fullres=cfg.pallas_encoder and self.test_mode,
         )
 
         if cfg.backbone_type == "default":
@@ -184,7 +190,10 @@ class RAFTStereo(nn.Module):
             else:
                 cnet_list = cnet(x1)
                 fnet_norm = "instance_fast" if cfg.fast_in_stats else "instance"
-                fnet = BasicEncoder(256, fnet_norm, cfg.n_downsample, dtype=dt, name="fnet")
+                fnet = BasicEncoder(
+                    256, fnet_norm, cfg.n_downsample, dtype=dt, name="fnet",
+                    fused_fullres=cfg.pallas_encoder and self.test_mode,
+                )
                 fmap = fnet(jnp.concatenate([x1, x2], axis=0))
                 fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
         elif cfg.backbone_type == "interpolate":
