@@ -23,6 +23,12 @@ def parse_args(argv=None):
         default=["eth3d", "middlebury-H", "kitti-2012", "kitti-2015", "booster-Q"],
     )
     p.add_argument("--data_root", default="data")
+    p.add_argument(
+        "--mixed_precision",
+        action="store_true",
+        help="bf16 compute; default OFF to match the reference eval protocol "
+        "(tools/evaluate_stereo.py:376-380 hard-disables AMP for accuracy runs)",
+    )
     return p.parse_args(argv)
 
 
@@ -36,6 +42,7 @@ def main(argv=None):
     from dkt_stereo_tpu.cli.config import load_model_config
     from dkt_stereo_tpu.eval.validate import (
         make_forward_fn,
+        preflight,
         validate_booster,
         validate_eth3d,
         validate_kitti,
@@ -53,11 +60,21 @@ def main(argv=None):
             "model compilation, which takes minutes on TPU)"
         )
 
+    preflight(args.datasets, args.data_root)
+
+    import dataclasses
+
     config = load_model_config(args.config)
     model_cls, cfg_cls, _ = get_model(config["model"])
-    cfg = cfg_cls.from_dict(config)
+    cfg = dataclasses.replace(
+        cfg_cls.from_dict(config), mixed_precision=args.mixed_precision
+    )
 
-    model = model_cls(cfg, iters=args.valid_iters, test_mode=True)
+    # Train-mode template: some models (GWCNet classif0-2 heads, IGEV spx
+    # init-upsample) own params that only exist in train mode, but reference
+    # .pth files always carry them — import into the superset; the test-mode
+    # forward simply ignores the extras.
+    model = model_cls(cfg, iters=args.valid_iters, test_mode=False)
     dummy = jnp.zeros((1, 64, 64, 3))
     template = model.init(jax.random.PRNGKey(0), dummy, dummy)
     if args.restore_ckpt.endswith(".pth"):

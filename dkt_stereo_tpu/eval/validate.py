@@ -66,9 +66,45 @@ def _run_one(forward, img1, img2, divide_factor):
     return disp, dt
 
 
+def _require_frames(ds, data_root):
+    # An absent/empty dataset must fail loudly (train-loop validation logs a
+    # "skipped" warning) instead of aggregating to NaN metrics.
+    if len(ds) == 0:
+        raise FileNotFoundError(f"no frames found under {data_root!r}")
+
+
+def preflight(names, data_root):
+    """Fail fast on empty/absent eval datasets BEFORE the minutes-long TPU
+    compile (dataset construction is a cheap filesystem glob). Accepts the
+    eval-CLI dataset names (``eth3d``, ``middlebury-H``, ``kitti-2012``,
+    ``booster-Q``, ``things``)."""
+    for name in names:
+        if name == "eth3d":
+            ds, root = ETH3D(None, root=f"{data_root}/ETH3D"), f"{data_root}/ETH3D"
+        elif name.startswith("middlebury"):
+            res = name.split("-")[1] if "-" in name else "H"
+            root = f"{data_root}/Middlebury"
+            ds = Middlebury(None, root=root, resolution=res)
+        elif name.startswith("kitti"):
+            split = name.split("-")[1] if "-" in name else "2015"
+            root = f"{data_root}/KITTI"
+            ds = KITTI(None, root=root, split=split)
+        elif name.startswith("booster"):
+            res = name.split("-")[1] if "-" in name else "Q"
+            root = f"{data_root}/Booster_dataset"
+            ds = Booster(None, root=root, resolution=res)
+        elif name == "things":
+            root = f"{data_root}/sceneflow"
+            ds = SceneFlowDatasets(None, root=root, dstype="frames_finalpass", things_test=True)
+        else:
+            raise ValueError(name)
+        _require_frames(ds, f"{root} ({name})")
+
+
 def validate_eth3d(forward, data_root="data/ETH3D", divide_factor=32):
     """tools/evaluate_stereo.py:46-104."""
     ds = ETH3D(None, root=data_root)
+    _require_frames(ds, data_root)
     out_list, epe_list = [], []
     for i in range(len(ds)):
         img1, img2, flow_gt, valid_gt = ds.get_sample(i)
@@ -88,6 +124,7 @@ def validate_eth3d(forward, data_root="data/ETH3D", divide_factor=32):
 def validate_kitti(forward, split="2015", data_root="data/KITTI", maxdisp=192, divide_factor=32):
     """tools/evaluate_stereo.py:108-171 (incl. warm-up-excluded FPS)."""
     ds = KITTI(None, root=data_root, split=split)
+    _require_frames(ds, f"{data_root} (split {split})")
     out_list, epe_list, elapsed = [], [], []
     for i in range(len(ds)):
         img1, img2, flow_gt, valid_gt = ds.get_sample(i)
@@ -109,6 +146,7 @@ def validate_kitti(forward, split="2015", data_root="data/KITTI", maxdisp=192, d
 def validate_things(forward, data_root="data/sceneflow", maxdisp=192, divide_factor=32):
     """tools/evaluate_stereo.py:175-213."""
     ds = SceneFlowDatasets(None, root=data_root, dstype="frames_finalpass", things_test=True)
+    _require_frames(ds, data_root)
     out_list, epe_list = [], []
     for i in range(len(ds)):
         img1, img2, flow_gt, valid_gt = ds.get_sample(i)
@@ -129,6 +167,7 @@ def validate_things(forward, data_root="data/sceneflow", maxdisp=192, divide_fac
 def validate_middlebury(forward, resolution="H", data_root="data/Middlebury", maxdisp=192, divide_factor=32):
     """tools/evaluate_stereo.py:216-275 (final print NameError fixed)."""
     ds = Middlebury(None, root=data_root, resolution=resolution)
+    _require_frames(ds, data_root)
     out_list, epe_list = [], []
     for i in range(len(ds)):
         img1, img2, flow_gt, valid_gt = ds.get_sample(i)
@@ -150,6 +189,7 @@ def validate_middlebury(forward, resolution="H", data_root="data/Middlebury", ma
 def validate_booster(forward, resolution="Q", data_root="data/Booster_dataset", maxdisp=192, divide_factor=32):
     """tools/evaluate_stereo.py:279-336."""
     ds = Booster(None, root=data_root, resolution=resolution)
+    _require_frames(ds, data_root)
     out_list, epe_list = [], []
     for i in range(len(ds)):
         img1, img2, flow_gt, valid_gt = ds.get_sample(i)
