@@ -108,6 +108,18 @@ class FlowAugmentorRTClean:
                 flow = flow[::-1, :] * [1.0, -1.0]
 
         ch, cw = self.crop_size
+        # Robustness fix over the reference (core/utils/augmentor.py:620-668):
+        # when the spatial-aug branch is skipped and the source is smaller
+        # than the crop, the reference's crop draw degenerates (empty randint
+        # range / sliver crops). Force the min_scale resize instead; consumes
+        # no RNG draws and never engages when the image already fits, so the
+        # augmentation distribution on real-size datasets is unchanged.
+        pad = 5 if self.yjitter else 1
+        if img1.shape[0] < ch + pad or img1.shape[1] < cw + pad:
+            rs = lambda im: cv2.resize(im, None, fx=min_scale, fy=min_scale, interpolation=cv2.INTER_LINEAR)
+            img1_clean, img2_clean = rs(img1_clean), rs(img2_clean)
+            img1, img2 = rs(img1), rs(img2)
+            flow = rs(flow) * [min_scale, min_scale]
         if self.yjitter:
             y0 = rng.integers(2, img1.shape[0] - ch - 2)
             x0 = rng.integers(2, img1.shape[1] - cw - 2)
@@ -232,6 +244,15 @@ class SparseFlowAugmentorRTClean:
                 flow = flow[::-1, :] * [1.0, -1.0]
 
         ch, cw = self.crop_size
+        # Same robustness fix as the dense augmentor: a source smaller than
+        # the crop (only possible when the 0.8-prob resize branch was
+        # skipped) would make the clip below collapse the crop to a sliver.
+        # Forcing the min_scale resize consumes no RNG draws.
+        if img1.shape[0] < ch or img1.shape[1] < cw:
+            rs = lambda im: cv2.resize(im, None, fx=min_scale, fy=min_scale, interpolation=cv2.INTER_LINEAR)
+            img1_clean, img2_clean = rs(img1_clean), rs(img2_clean)
+            img1, img2 = rs(img1), rs(img2)
+            flow, valid = resize_sparse_flow_map(flow, valid, fx=min_scale, fy=min_scale)
         margin_y, margin_x = 20, 50
         y0 = rng.integers(0, img1.shape[0] - ch + margin_y)
         x0 = rng.integers(-margin_x, img1.shape[1] - cw + margin_x)

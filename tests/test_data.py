@@ -82,6 +82,25 @@ def test_sparse_augmentor_shapes(rng):
     assert set(np.unique(v)).issubset({0, 1})
 
 
+def test_augmentors_crop_larger_than_source(rng):
+    """Source smaller than the crop must still yield crop-size outputs.
+
+    The reference degenerates here (sliver crops / empty randint ranges)
+    whenever the probabilistic resize branch is skipped; we force the
+    min_scale resize instead (documented reference-bug fix).
+    """
+    img1, img2 = _pair(rng, H=60, W=100)  # smaller than the 64x128 crop
+    dflow = np.stack([rng.uniform(1, 30, (60, 100)), np.zeros((60, 100))], -1).astype(np.float32)
+    valid = (rng.uniform(size=(60, 100)) > 0.5).astype(np.float32)
+    for seed in range(16):  # cover both resize-branch outcomes
+        daug = FlowAugmentorRTClean(crop_size=(64, 128), rng=np.random.default_rng(seed))
+        out = daug(img1, img2, dflow)
+        assert out[0].shape == (64, 128, 3) and out[4].shape == (64, 128, 2)
+        saug = SparseFlowAugmentorRTClean(crop_size=(64, 128), rng=np.random.default_rng(seed))
+        sout = saug(img1, img2, dflow, valid)
+        assert sout[0].shape == (64, 128, 3) and sout[5].shape == (64, 128)
+
+
 def test_resize_sparse_flow_map_scatter(rng):
     flow = np.zeros((10, 20, 2), np.float32)
     flow[5, 10] = [4.0, 0.0]
