@@ -77,6 +77,7 @@ def test_igev_matches_reference(rng):
         _, theirs = tmodel(t1, t2, iters=2, test_mode=True)
     theirs = theirs.squeeze(1).numpy()
 
+    # Measured across seeds 0-2: max ~1.1e-5, mean ~1.8e-6 (pure fp noise).
     diff = np.abs(ours - theirs)
-    assert diff.max() < 1e-1, f"max {diff.max()} mean {diff.mean()}"
-    assert diff.mean() < 1e-2
+    assert diff.max() < 1e-4, f"max {diff.max()} mean {diff.mean()}"
+    assert diff.mean() < 1e-5

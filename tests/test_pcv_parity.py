@@ -74,6 +74,10 @@ def test_pcvnet_matches_reference(rng):
         _, theirs = tmodel(t1, t2, iters=3, test_mode=True)
     theirs = theirs.squeeze(1).numpy()
 
+    # Measured across seeds 0-2: max 1e-2..3.7e-2 on ~100px disparities
+    # (relative ~3e-4) — fp accumulation-order noise through 3 closed-form
+    # mu/sigma/w updates + refineNet + convex upsample, not a sub-pixel
+    # divergence (it shrinks with fewer iters and is centered on zero).
     diff = np.abs(ours - theirs)
-    assert diff.max() < 1e-1, f"max {diff.max()} mean {diff.mean()}"
-    assert diff.mean() < 1e-2
+    assert diff.max() < 5e-2, f"max {diff.max()} mean {diff.mean()}"
+    assert diff.mean() < 5e-3
