@@ -20,6 +20,100 @@ from __future__ import annotations
 import numpy as np
 
 
+def banded_forward_exact(
+    model, params, img1, img2, mesh, halo: int = 96, divide_factor: int = 32
+):
+    """Cross-band-exact banded eval: one horizontal band per device, IN
+    statistics made GLOBAL via psum (nn/norms.py::cross_band_stats).
+
+    Exactness story vs the full-image forward on the same padded frame:
+      - instance-norm statistics: exact (band interiors tile the padded
+        image; halo/pad rows are masked out of the partial sums);
+      - eval-mode BatchNorm: exact (running stats, no spatial coupling);
+      - image top/bottom edges: exact (windows are clamped to the image, so
+        the first/last band's tensor edge IS the image edge and conv SAME
+        padding behaves identically);
+      - interior band boundaries: exact up to the network's receptive field
+        — residual error decays with distance from the window edge and is
+        bounded by choosing ``halo`` ≥ the encoder receptive field
+        (tests/test_parallel.py pins the measured bound). Measured on RAFT
+        at random init (the adversarial case — untrained weights amplify
+        boundary perturbations): n_gru_layers=1 (1/4-scale context) is
+        fp-exact at halo=64 (max 8.6e-4 on a 39 px scale, halo-independent);
+        the 3-level config's 1/16-scale context branch spans hundreds of
+        input rows of receptive field, giving ~4.6% peak error AT the band
+        boundary decaying to fp noise ~190 rows away.
+
+    ``model`` must be built with ``pallas_encoder=False`` (the fused encoder
+    computes IN inside its kernel and would bypass the cross-band stats) —
+    asserted here. ``halo`` must be a multiple of 32. img1/img2: (H, W, 3)
+    numpy, values [0,255]. Returns (H, W) disparity (negative flow-x).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dkt_stereo_tpu.nn.norms import cross_band_stats
+    from dkt_stereo_tpu.ops.pad import pad_dims
+
+    assert not getattr(model.cfg, "pallas_encoder", False), (
+        "banded_forward_exact needs module-level instance norms "
+        "(pallas_encoder=False)"
+    )
+    assert halo % 32 == 0 and halo > 0, halo
+    n_bands = int(np.prod(mesh.devices.shape))
+    axis = mesh.axis_names[0]
+    H, W, _ = img1.shape
+
+    # pad the FULL frame exactly like the unbanded eval path ('sintel'
+    # replicate mode, ops/pad.py), then band the padded frame
+    (pt, pb), (pl, pr) = pad_dims(H, W, divide_factor, "sintel")
+    a = np.pad(img1, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    b = np.pad(img2, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    fh = a.shape[0]
+
+    band_h = int(np.ceil(fh / n_bands / 32)) * 32
+    th = band_h + 2 * halo
+    if th >= fh:
+        # image too small to band: run it replicated (band 0 covers it)
+        th = fh
+        band_h = fh
+        halo = 0
+    win0 = [int(np.clip(k * band_h - halo, 0, fh - th)) for k in range(n_bands)]
+    bands_a = np.stack([a[w : w + th] for w in win0])
+    bands_b = np.stack([b[w : w + th] for w in win0])
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def run(xa, xb):
+        _, disp = model.apply(params, xa, xb)
+        return disp
+
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    da = jax.device_put(jnp.asarray(bands_a, jnp.float32), sh)
+    db = jax.device_put(jnp.asarray(bands_b, jnp.float32), sh)
+    # trace INSIDE the context (fresh jit per call so the cache can't leak a
+    # non-banded trace in)
+    with cross_band_stats(axis, th, halo, band_h, fh):
+        disp = np.asarray(jax.jit(run)(da, db))  # (n_bands, th, Wp)
+
+    out = np.zeros((fh, a.shape[1]), np.float32)
+    for k in range(n_bands):
+        off = k * band_h - win0[k]
+        ilen = int(np.clip(fh - k * band_h, 0, band_h))
+        if ilen > 0:
+            out[k * band_h : k * band_h + ilen] = disp[k, off : off + ilen]
+    return out[pt : pt + H, pl : pl + W]
+
+
 def banded_forward_mesh(forward, img1, img2, mesh, halo: int = 64, divide_factor: int = 32):
     """Mesh-parallel banded eval: one horizontal band per device of a 1-D
     mesh, processed as a single sharded batch. Stereo correlation is

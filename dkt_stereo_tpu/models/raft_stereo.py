@@ -39,6 +39,7 @@ from dkt_stereo_tpu.ops.corr import (
     corr_volume,
     fmap_pyramid,
 )
+from dkt_stereo_tpu.ops.pallas.corr_alt import corr_lookup_alt_pallas
 from dkt_stereo_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align
 from dkt_stereo_tpu.ops.sampler import coords_grid_x
@@ -51,7 +52,10 @@ class RAFTStereoConfig:
     (tools/ft_dkt.py:312-344)."""
 
     backbone_type: str = "default"  # "default" | "interpolate"
-    corr_implementation: str = "reg"  # "reg" | "cosine" | "alt" (alt == reg numerically)
+    # "reg" (XLA, materialized) | "cosine" | "alt" (XLA, recompute) |
+    # "reg_cuda" (Pallas, materialized volume) | "alt_cuda" (Pallas, fused
+    # build+lookup, volume never in HBM). alt/alt_cuda == reg numerically.
+    corr_implementation: str = "reg"
     shared_backbone: bool = False
     corr_levels: int = 4
     corr_radius: int = 4
@@ -99,11 +103,19 @@ class _IterStep(nn.Module):
         dt = cfg.compute_dtype
 
         coords1x = jax.lax.stop_gradient(coords1x)
-        if cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas"):
+        if cfg.corr_implementation in ("reg_cuda", "pallas"):
             # fused Pallas kernel (TPU analogue of the reference's CUDA
             # corr_sampler, core/corr.py:17-29); interpret-mode off-TPU
             interpret = jax.default_backend() == "cpu"
             corr = corr_lookup_pallas(tuple(pyramid), coords1x, cfg.corr_radius, interpret)
+        elif cfg.corr_implementation == "alt_cuda":
+            # fused build+lookup: the W×W₂ volume never exists in HBM (the
+            # reference's alt_cuda_corr memory contract, core/corr.py:212-241);
+            # here `pyramid` holds the transposed pooled right features
+            interpret = jax.default_backend() == "cpu"
+            corr = corr_lookup_alt_pallas(
+                fmap1, tuple(pyramid), coords1x, cfg.corr_radius, interpret
+            )
         elif cfg.corr_implementation == "alt":
             # memory-efficient: recompute from the pooled feature pyramid
             corr = corr_lookup_alt(fmap1, list(pyramid), coords1x, cfg.corr_radius)
@@ -221,6 +233,15 @@ class RAFTStereo(nn.Module):
             # no volume materialization: the scan recomputes correlations
             # on the fly from the pooled right-feature pyramid
             pyramid = tuple(fmap_pyramid(fmap2.astype(jnp.float32), cfg.corr_levels))
+            volume = None
+        elif cfg.corr_implementation == "alt_cuda":
+            # no-materialization Pallas path: pooled right features,
+            # pre-transposed ONCE so every scan iteration's MXU matmul sees a
+            # contiguous (D, W2) operand (ops/pallas/corr_alt.py)
+            pyramid = tuple(
+                jnp.swapaxes(f, -1, -2)
+                for f in fmap_pyramid(fmap2, cfg.corr_levels)
+            )
             volume = None
         else:
             volume = corr_volume(fmap1, fmap2, normalize=cosine, out_dtype=corr_dt)

@@ -211,9 +211,12 @@ def fused_fullres_layer1(
     """
     import jax
 
+    import functools
+
     from dkt_stereo_tpu.ops.pallas.encoder_conv import (
-        encoder_stage,
+        encoder_stage as _encoder_stage,
         in_affine,
+        pick_rb,
         w2d_conv3x3_weights,
         w2d_pack,
         w2d_pad,
@@ -223,6 +226,8 @@ def fused_fullres_layer1(
     )
 
     B, H, W, _ = x.shape
+    rb = pick_rb(W // 2 + 2, H)  # VMEM-bounded rows/step at large widths
+    encoder_stage = functools.partial(_encoder_stage, rb=rb)
     C = triples[0][0].shape[-1]
     count = float(H * W)
     interpret = jax.default_backend() == "cpu"
@@ -255,7 +260,7 @@ def fused_fullres_layer1(
         s_ssq = jnp.sum(jnp.square(s.astype(jnp.float32)), axis=(1, 2))
         a_s2, b_s2 = in_affine(s_sum, s_ssq, count)
 
-    sp = w2d_pad(s)
+    sp = w2d_pad(s, rb)
     Hp = sp.shape[1]
     # v-stream for the block-1 residual must live in the same shift frame
     # as K3's primary input (shift 2): rows move down by 2

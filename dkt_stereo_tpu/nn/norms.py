@@ -14,11 +14,58 @@ throughout core/extractor.py. Torch defaults reproduced here:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+# --- cross-band instance-norm statistics (exact banded eval) ---------------
+#
+# eval/tiled.py::banded_forward_exact runs the model under shard_map with one
+# horizontal band per device. Inside that trace, this context makes every
+# InstanceNorm compute its statistics over ONLY the band's interior rows
+# (mask), psum the partial sums across the band axis, and normalize with the
+# resulting GLOBAL mean/var — numerically the full-image statistics, since
+# the band interiors tile the padded image exactly. The context is read at
+# TRACE time (callers must trace inside the with-block).
+_BAND_STATS: Optional[dict] = None
+
+
+@contextlib.contextmanager
+def cross_band_stats(axis_name: str, tensor_h: int, halo: int, band_h: int, full_h: int):
+    """All heights at stride 1 (input resolution) and multiples of 32 so the
+    interior row ranges stay integral at every encoder stride."""
+    global _BAND_STATS
+    prev = _BAND_STATS
+    _BAND_STATS = dict(axis=axis_name, th=tensor_h, halo=halo, bh=band_h, fh=full_h)
+    try:
+        yield
+    finally:
+        _BAND_STATS = prev
+
+
+def _banded_instance_stats(x, ctx, epsilon):
+    """Masked-interior mean/var psum'd over the band axis; returns the
+    normalized tensor. Exactly reproduces the full-image statistics because
+    interiors tile [0, full_h) and halo/padding rows are masked out."""
+    axis, th, halo, bh, fh = ctx["axis"], ctx["th"], ctx["halo"], ctx["bh"], ctx["fh"]
+    h = x.shape[1]
+    s = th // h  # feature stride vs input resolution
+    k = jax.lax.axis_index(axis)
+    win0 = jnp.clip(k * bh - halo, 0, fh - th)  # window start (matches tiled.py)
+    off = k * bh - win0  # interior offset inside the window
+    ilen = jnp.clip(fh - k * bh, 0, bh)  # interior rows (last band may be short)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    m = ((rows >= off // s) & (rows < off // s + ilen // s)).astype(jnp.float32)
+
+    xf = x.astype(jnp.float32) * m
+    cnt = jax.lax.psum(jnp.sum(m) * x.shape[2], axis)
+    mean = jax.lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis) / cnt
+    var = jax.lax.psum(jnp.sum(xf * xf, axis=(1, 2), keepdims=True), axis) / cnt - mean**2
+    scale = jax.lax.rsqrt(var + epsilon).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * scale
 
 
 class InstanceNorm(nn.Module):
@@ -37,17 +84,32 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if _BAND_STATS is not None:
+            # exact banded eval: global (cross-band) statistics, always
+            # stride-1 (the subsampled fast path would sample a band-shifted
+            # grid and break cross-band equality)
+            return _banded_instance_stats(x, _BAND_STATS, self.epsilon)
         s = self.stats_stride
-        xs = x[:, ::s, ::s] if s > 1 else x
-        mean = jnp.mean(xs, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+
+        # Reductions one axis at a time: XLA fuses the elementwise
+        # multiply/convert chain into a single-axis reduce, so no fp32 copy
+        # of the activations is ever materialized. Both the joint
+        # `jnp.mean(..., axis=(1,2), dtype=f32)` formulation and a
+        # dot_general/einsum contraction allocated multi-GB relayout temps
+        # at full-resolution Middlebury sizes and OOM'd the chip.
+        def _stats(t):
+            n = t.shape[1] * t.shape[2]
+            m = jnp.sum(jnp.sum(t, axis=2, dtype=jnp.float32), axis=1) / n
+            c = t - m[:, None, None, :].astype(t.dtype)
+            v = jnp.sum(jnp.sum(c * c, axis=2, dtype=jnp.float32), axis=1) / n
+            return m[:, None, None, :], v[:, None, None, :]
+
         if s > 1:
-            var = jnp.mean(
-                (xs - mean.astype(xs.dtype)) ** 2, axis=(1, 2), keepdims=True, dtype=jnp.float32
-            )
+            mean, var = _stats(x[:, ::s, ::s])
             centered = x - mean.astype(x.dtype)
         else:
+            mean, var = _stats(x)
             centered = x - mean.astype(x.dtype)
-            var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True, dtype=jnp.float32)
         scale = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
         return centered * scale
 

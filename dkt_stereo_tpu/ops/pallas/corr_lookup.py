@@ -78,12 +78,81 @@ def _bwd_kernel(coords_ref, g_ref, *dvol_refs, radius: int, num_levels: int):
             dvol_refs[i][r] = acc.astype(dvol_refs[i].dtype)
 
 
+# one grid program's volume blocks must fit VMEM (with Mosaic's double
+# buffering + fp32 tap temps): cap R·W1c·ΣW2 elements per program.
+# Empirically 2.07M elems (Middlebury-F level-1 full-row) measures 16.3M
+# scoped VMEM; 1.7M keeps headroom while the 736×1280 eval protocol
+# (1.54M) stays on the single-call fast path.
+_VMEM_ELEMS = 1_700_000
+
+
+def _fwd_kernel_level(coords_ref, vol_ref, out_ref, *, radius, level):
+    """Per-level variant for large frames: W1 chunked on the grid."""
+    R, W1c = coords_ref.shape
+    taps = 2 * radius + 1
+
+    for r in range(R):
+        vol = vol_ref[r].astype(jnp.float32)  # (W1c, W2)
+        W2 = vol.shape[-1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+        x = coords_ref[r].astype(jnp.float32) / (2**level)
+        outs = []
+        for k in range(taps):
+            pos = x[:, None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+            outs.append(jnp.sum(vol * w, axis=-1))
+        out_ref[r] = jnp.stack(outs, axis=-1)
+
+
+def _lookup_fwd_chunked(pyramid, coords, radius, interpret):
+    """Large-frame path: one pallas_call per level, W1 split into
+    128-multiple chunks (Middlebury-F-sized volumes overflow the 16MB VMEM
+    budget of the all-levels single call)."""
+    from dkt_stereo_tpu.ops.pallas.corr_alt import _pick_cols
+
+    B, H, W1, _ = pyramid[0].shape
+    G = B * H
+    R = _pick_rows(G)
+    taps = 2 * radius + 1
+    coords2 = coords.reshape(G, W1)
+
+    outs = []
+    for level, v in enumerate(pyramid):
+        W2 = v.shape[-1]
+        limit = max(128, _VMEM_ELEMS // (R * W2) // 128 * 128)
+        W1p, W1c = _pick_cols(W1, limit)
+        c2 = coords2
+        vol = v.reshape(G, W1, W2)
+        if W1p != W1:
+            c2 = jnp.pad(c2, ((0, 0), (0, W1p - W1)), constant_values=-1e9)
+            vol = jnp.pad(vol, ((0, 0), (0, W1p - W1), (0, 0)))
+        kernel = functools.partial(_fwd_kernel_level, radius=radius, level=level)
+        out = pl.pallas_call(
+            kernel,
+            grid=(G // R, W1p // W1c),
+            in_specs=[
+                pl.BlockSpec((R, W1c), lambda g, c: (g, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1c, W2), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (R, W1c, taps), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((G, W1p, taps), jnp.float32),
+            interpret=interpret,
+        )(c2, vol)
+        outs.append(out[:, :W1])
+    return jnp.concatenate(outs, axis=-1).reshape(B, H, W1, len(pyramid) * taps)
+
+
 def _lookup_fwd_impl(pyramid, coords, radius, interpret):
     num_levels = len(pyramid)
     B, H, W1, _ = pyramid[0].shape
     G = B * H
     R = _pick_rows(G)
     taps = 2 * radius + 1
+
+    if R * W1 * sum(v.shape[-1] for v in pyramid) > _VMEM_ELEMS:
+        return _lookup_fwd_chunked(pyramid, coords, radius, interpret)
 
     coords2 = coords.reshape(G, W1)
     vols = [v.reshape(G, W1, v.shape[-1]) for v in pyramid]

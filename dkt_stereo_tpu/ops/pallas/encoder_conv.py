@@ -45,7 +45,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R_BLOCK = 8  # output rows per grid step
+R_BLOCK = 8  # default output rows per grid step
+
+
+def pick_rb(wcp: int, h: int) -> int:
+    """Rows per grid step bounded by VMEM: the per-program footprint (input/
+    output/scratch blocks in bf16 + two fp32 row temps) is ≈ 18·rb·Wcp·C2
+    bytes, so wide full-resolution frames (Middlebury-F: Wcp≈1442) must drop
+    below the default 8. ``h`` must stay divisible by the choice."""
+    # measured on the dual-input (v + emit_h) stage, the VMEM-heaviest:
+    # rb·wcp = 5136 (736×1280 eval) fits; 5768 (Middlebury-F) overflows by
+    # ~0.9M — the scoped budget works out to ≈ rb·wcp ≤ ~5460
+    for rb in (8, 4, 2, 1):
+        if rb * wcp <= 5300 and h % rb == 0:
+            return rb
+    return 1
 
 
 # ---------------------------------------------------------------------------
@@ -67,10 +81,14 @@ def w2d_unpack(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, H, Wc * 2, C2 // 2)
 
 
-def w2d_pad(x_w2d: jnp.ndarray) -> jnp.ndarray:
-    """Add the frame the kernels expect: R_BLOCK zero rows at the bottom and
-    one zero cell (2 columns) on each side of W."""
-    return jnp.pad(x_w2d, ((0, 0), (0, R_BLOCK), (1, 1), (0, 0)))
+def w2d_pad(x_w2d: jnp.ndarray, rb: int = R_BLOCK) -> jnp.ndarray:
+    """Add the frame the kernels expect: bottom zero rows (at least 4 — the
+    chain shifts down one row per stage across 4 stages — rounded up to a
+    multiple of ``rb`` so the grid tiles Hp) and one zero cell (2 columns)
+    on each side of W."""
+    pad = max(rb, 4)
+    pad += (-pad) % rb
+    return jnp.pad(x_w2d, ((0, 0), (0, pad), (1, 1), (0, 0)))
 
 
 def w2d_slice(y: jnp.ndarray, shift: int, H: int) -> jnp.ndarray:
@@ -247,6 +265,7 @@ def encoder_stage(
     emit_h: bool = False,
     relu_u: bool = True,
     interpret: bool = False,
+    rb: Optional[int] = None,
 ):
     """One fused stage: ``y = conv3x3(relu(a1*u + b1 [+ relu(a2*v + b2)]))``.
 
@@ -260,7 +279,7 @@ def encoder_stage(
     ``shift_in`` (the residual tap the block structure needs later).
     """
     B, Hp, Wcp, C2 = u.shape
-    RB = R_BLOCK
+    RB = rb if rb is not None else R_BLOCK
     assert Hp % RB == 0, (Hp, RB)
     nblk = Hp // RB
     has_res = v is not None

@@ -98,17 +98,31 @@ def test_banded_eval_mesh_matches_full(rng):
     np.testing.assert_allclose(banded, full, atol=1e-5)
 
 
-def test_banded_eval_mesh_real_model_close(rng):
-    # with the real RAFT model the band interiors should closely match the
-    # full-image pass (halo covers the effective receptive field)
-    from dkt_stereo_tpu.eval.tiled import banded_forward_mesh
+def test_banded_eval_exact_real_model(rng):
+    """banded_forward_exact vs the full-image pass, REAL RAFT model.
+
+    With cross-band IN statistics (psum'd masked-interior sums) the banded
+    pass differs from the full pass only by receptive-field truncation at
+    interior window edges — a halo covering the encoder receptive field
+    bounds it tightly even at random init (where band-local IN stats would
+    diverge chaotically; the old approximate path asserted nothing here).
+    """
+    from dkt_stereo_tpu.eval.tiled import banded_forward_exact
     from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+    from dkt_stereo_tpu.ops.pad import pad_input, unpad_input
 
     mesh = make_mesh(2)
+    # 1/4-scale GRU stack: halo=64 covers the full receptive field, so the
+    # bound below is tight even at random init (the adversarial case for
+    # banding — trained weights only shrink it). The 3-level config's 1/16
+    # context branch has a receptive field of hundreds of input rows; its
+    # measured random-init boundary error is ~4.6% of the disparity scale,
+    # decaying to fp noise ~190 rows out (see eval/tiled.py docstring).
     cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance",
-                           corr_dtype="float32")
+                           corr_dtype="float32", n_gru_layers=1,
+                           slow_fast_gru=False)
     model = RAFTStereo(cfg, iters=2, test_mode=True)
-    H, W = 128, 96
+    H, W = 640, 64
     img1 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
     img2 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0),
@@ -118,13 +132,48 @@ def test_banded_eval_mesh_real_model_close(rng):
     def forward(a, b):
         return model.apply(params, a, b)[1]
 
-    full = np.asarray(forward(jnp.asarray(img1[None]), jnp.asarray(img2[None])))[0]
-    banded = banded_forward_mesh(forward, img1, img2, mesh, halo=32)
-    # NB banding is an approximation for instance-norm models: IN statistics
-    # are whole-image, so band crops perturb features globally. At random
-    # init that perturbation is chaotically amplified; with trained weights
-    # on natural images the stats are near-stationary. Here assert the
-    # machinery: correct shape, finite values, same output scale.
+    a, spec = pad_input(jnp.asarray(img1[None]), 32, "sintel")
+    b, _ = pad_input(jnp.asarray(img2[None]), 32, "sintel")
+    full = np.asarray(unpad_input(forward(a, b)[..., None], spec))[0, ..., 0]
+
+    banded = banded_forward_exact(model, params, img1, img2, mesh, halo=64)
     assert banded.shape == full.shape
-    assert np.isfinite(banded).all()
-    assert np.abs(banded).max() < np.abs(full).max() * 10 + 10
+    err = np.abs(banded - full)
+    # measured 8.6e-4 max on a ~39 px disparity scale, halo-independent
+    # (i.e. pure fp accumulation, zero truncation error)
+    assert err.max() < 5e-3, f"max {err.max()} mean {err.mean()}"
+    assert err.mean() < 5e-4, f"mean {err.mean()}"
+
+
+def test_cross_band_instance_norm_exact(rng):
+    """The masked-interior psum'd IN statistics reproduce the full-image
+    InstanceNorm to fp precision (the core of banded_forward_exact)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from dkt_stereo_tpu.nn.norms import InstanceNorm, cross_band_stats
+
+    mesh = make_mesh(2)
+    fh, W, C = 384, 64, 8
+    halo, band_h = 64, 192
+    th = band_h + 2 * halo
+    x = rng.standard_normal((1, fh, W, C)).astype(np.float32)
+    full = np.asarray(InstanceNorm().apply({}, jnp.asarray(x)))
+
+    win0 = [int(np.clip(k * band_h - halo, 0, fh - th)) for k in range(2)]
+    bands = np.stack([x[0, w : w + th] for w in win0])
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data"),), out_specs=P("data"),
+             check_rep=False)
+    def run(xb):
+        return InstanceNorm().apply({}, xb)
+
+    with cross_band_stats("data", th, halo, band_h, fh):
+        out = np.asarray(jax.jit(run)(jnp.asarray(bands)))
+
+    for k in range(2):
+        off = k * band_h - win0[k]
+        got = out[k, off : off + band_h]
+        want = full[0, k * band_h : (k + 1) * band_h]
+        np.testing.assert_allclose(got, want, atol=5e-5)
