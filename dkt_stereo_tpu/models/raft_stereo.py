@@ -65,6 +65,9 @@ class RAFTStereoConfig:
     n_gru_layers: int = 3
     hidden_dims: Tuple[int, ...] = (128, 128, 128)
     mixed_precision: bool = True
+    # refinement iterations fused per scan step (params shared, numerics
+    # identical); amortizes while-loop carry overhead. iters must divide.
+    scan_unroll: int = 1
     # TPU extension (not in the reference config): dtype of the stored
     # correlation pyramid. "bfloat16" halves volume HBM traffic (lookup
     # interpolation stays fp32); "float32" gives exact reference parity.
@@ -97,6 +100,22 @@ class _IterStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, consts, is_last):
+        # ``is_last``: (unroll,) flags. Running ``unroll`` refinement
+        # iterations per scan step (same submodule → shared params, identical
+        # numerics) amortizes the while-loop/carry bookkeeping overhead —
+        # ~1 ms/iter at 736×1280 (docs/PERF.md).
+        cfg = self.cfg
+        block = BasicMultiUpdateBlock(
+            cfg.n_gru_layers, cfg.n_downsample, cfg.hidden_dims,
+            cfg.compute_dtype, name="update_block",
+        )
+        ys = []
+        for j in range(is_last.shape[0]):
+            carry, y = self._one_iter(block, carry, consts, is_last[j])
+            ys.append(y)
+        return carry, jnp.stack(ys)
+
+    def _one_iter(self, block, carry, consts, is_last):
         cfg = self.cfg
         net, coords1x, _ = carry
         pyramid, inp, coords0x, fmap1 = consts
@@ -124,9 +143,6 @@ class _IterStep(nn.Module):
         flow_x = coords1x - coords0x
         flow2 = jnp.concatenate([flow_x, jnp.zeros_like(flow_x)], axis=-1)
 
-        block = BasicMultiUpdateBlock(
-            cfg.n_gru_layers, cfg.n_downsample, cfg.hidden_dims, dt, name="update_block"
-        )
         if cfg.n_gru_layers == 3 and cfg.slow_fast_gru:
             net = block(net, inp, iter32=True, iter16=False, iter08=False, update=False)
         if cfg.n_gru_layers >= 2 and cfg.slow_fast_gru:
@@ -267,22 +283,25 @@ class RAFTStereo(nn.Module):
         coords1x = coords0x if flow_init is None else coords0x + flow_init
 
         collect = not self.test_mode
+        k = cfg.scan_unroll if self.iters % cfg.scan_unroll == 0 else 1
         Scan = nn.scan(
             _IterStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
             out_axes=0,
-            length=self.iters,
+            length=self.iters // k,
         )
         step = Scan(cfg, collect, name="step")
         mask0 = jnp.zeros((B, Hc, Wc, factor**2 * 9), cfg.compute_dtype)
-        is_last = jnp.arange(self.iters) == self.iters - 1
+        is_last = (jnp.arange(self.iters) == self.iters - 1).reshape(-1, k)
         (net, coords1x, up_mask), ys = step(
             (net, coords1x, mask0),
             (pyramid, inp, coords0x, fmap1.astype(jnp.float32)),
             is_last,
         )
+        # (n_steps, k, ...) per-iteration outputs -> (iters, ...)
+        ys = ys.reshape(self.iters, *ys.shape[2:])
 
         if self.test_mode:
             disp_up = convex_upsample(

@@ -91,14 +91,21 @@ class InstanceNorm(nn.Module):
             return _banded_instance_stats(x, _BAND_STATS, self.epsilon)
         s = self.stats_stride
 
-        # Reductions one axis at a time: XLA fuses the elementwise
-        # multiply/convert chain into a single-axis reduce, so no fp32 copy
-        # of the activations is ever materialized. Both the joint
+        # Large tensors: reductions one axis at a time — XLA fuses the
+        # elementwise multiply/convert chain into a single-axis reduce, so
+        # no fp32 copy of the activations is materialized. Both the joint
         # `jnp.mean(..., axis=(1,2), dtype=f32)` formulation and a
         # dot_general/einsum contraction allocated multi-GB relayout temps
-        # at full-resolution Middlebury sizes and OOM'd the chip.
+        # at full-resolution Middlebury sizes and OOM'd the chip. Small
+        # (train/eval-size) tensors keep the joint reduce — it is a single
+        # fused pass and measurably faster there.
         def _stats(t):
             n = t.shape[1] * t.shape[2]
+            if t.size < (1 << 26):
+                m = jnp.mean(t, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+                c = t - m.astype(t.dtype)
+                v = jnp.mean(c * c, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+                return m, v
             m = jnp.sum(jnp.sum(t, axis=2, dtype=jnp.float32), axis=1) / n
             c = t - m[:, None, None, :].astype(t.dtype)
             v = jnp.sum(jnp.sum(c * c, axis=2, dtype=jnp.float32), axis=1) / n

@@ -136,3 +136,30 @@ def test_mix_corr_runs(images):
     # different mix keys -> different volumes -> different outputs
     out2 = model.apply(params, img1, img2, rngs={"mix": jax.random.PRNGKey(3)})
     assert not np.allclose(np.asarray(out["disp_preds"]), np.asarray(out2["disp_preds"]))
+
+
+def test_scan_unroll_identical(rng):
+    # scan_unroll fuses k iterations per scan step with shared params —
+    # must be numerically identical in both modes (pure loop restructure)
+    import dataclasses
+
+    from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+
+    B, H, W = 1, 32, 64
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    cfg1 = RAFTStereoConfig(mixed_precision=False, context_norm="instance",
+                            corr_dtype="float32")
+    cfg2 = dataclasses.replace(cfg1, scan_unroll=2)
+    m1 = RAFTStereo(cfg1, iters=4, test_mode=True)
+    m2 = RAFTStereo(cfg2, iters=4, test_mode=True)
+    params = m1.init(jax.random.PRNGKey(0), img1, img2)
+    _, d1 = m1.apply(params, img1, img2)
+    _, d2 = m2.apply(params, img1, img2)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    t1 = RAFTStereo(cfg1, iters=4, test_mode=False)
+    t2 = RAFTStereo(cfg2, iters=4, test_mode=False)
+    o1 = t1.apply(params, img1, img2)["disp_preds"]
+    o2 = t2.apply(params, img1, img2)["disp_preds"]
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
