@@ -24,6 +24,16 @@ def parse_args(argv=None):
     )
     p.add_argument("--data_root", default="data")
     p.add_argument(
+        "--spatial_bands",
+        type=int,
+        default=0,
+        help="split each frame into N horizontal bands over an N-device "
+        "('spatial',) mesh with exact cross-band instance-norm statistics "
+        "(eval/tiled.py::banded_forward_exact) — multi-chip context "
+        "parallelism for very large frames; needs N local devices",
+    )
+    p.add_argument("--band_halo", type=int, default=96)
+    p.add_argument(
         "--mixed_precision",
         action="store_true",
         help="bf16 compute; default OFF to match the reference eval protocol "
@@ -84,7 +94,30 @@ def main(argv=None):
     else:
         params = restore_checkpoint(args.restore_ckpt, template)
 
-    fwd = make_forward_fn(model_cls, cfg, params, iters=args.valid_iters)
+    if args.spatial_bands > 1:
+        import numpy as np
+
+        from dkt_stereo_tpu.eval.tiled import banded_forward_exact
+        from dkt_stereo_tpu.parallel import make_mesh
+
+        # module-level instance norms required for cross-band statistics
+        bcfg = dataclasses.replace(cfg, pallas_encoder=False)
+        bmodel = model_cls(bcfg, iters=args.valid_iters, test_mode=True)
+        mesh = make_mesh(args.spatial_bands, axis_names=("spatial",))
+
+        def fwd(img1, img2):
+            return np.stack(
+                [
+                    banded_forward_exact(
+                        bmodel, params, np.asarray(a), np.asarray(b), mesh,
+                        halo=args.band_halo, divide_factor=args.divide_factor,
+                    )
+                    for a, b in zip(img1, img2)
+                ]
+            )
+
+    else:
+        fwd = make_forward_fn(model_cls, cfg, params, iters=args.valid_iters)
     results = {}
     for name in args.datasets:
         if name == "eth3d":

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+_EXACT_JIT_CACHE: dict = {}
+
 
 def banded_forward_exact(
     model, params, img1, img2, mesh, halo: int = 96, divide_factor: int = 32
@@ -86,24 +88,32 @@ def banded_forward_exact(
     bands_a = np.stack([a[w : w + th] for w in win0])
     bands_b = np.stack([b[w : w + th] for w in win0])
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-        check_rep=False,
-    )
-    def run(xa, xb):
-        _, disp = model.apply(params, xa, xb)
-        return disp
+    key = (id(model), mesh, th, band_h, fh, bands_a.shape, halo)
+    if key not in _EXACT_JIT_CACHE:
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        def run(p, xa, xb):
+            _, disp = model.apply(p, xa, xb)
+            return disp
+
+        _EXACT_JIT_CACHE[key] = jax.jit(run)
 
     sh = jax.sharding.NamedSharding(mesh, P(axis))
+    rep = jax.sharding.NamedSharding(mesh, P())
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
     da = jax.device_put(jnp.asarray(bands_a, jnp.float32), sh)
     db = jax.device_put(jnp.asarray(bands_b, jnp.float32), sh)
-    # trace INSIDE the context (fresh jit per call so the cache can't leak a
-    # non-banded trace in)
+    # the context must be live when the cached fn TRACES (its first call);
+    # the banded-stats trace is keyed separately from any unbanded jit of
+    # the same model, so the cache cannot leak a non-banded trace in
     with cross_band_stats(axis, th, halo, band_h, fh):
-        disp = np.asarray(jax.jit(run)(da, db))  # (n_bands, th, Wp)
+        disp = np.asarray(_EXACT_JIT_CACHE[key](params, da, db))  # (n_bands, th, Wp)
 
     out = np.zeros((fh, a.shape[1]), np.float32)
     for k in range(n_bands):

@@ -151,3 +151,37 @@ def test_validate_booster_oracle(tmp_path, rng):
     assert res["Booster-d1"] == 0.0
     res2 = validate_booster(_oracle(10.0), resolution="Q", data_root=root)  # 3px off
     assert res2["Booster-d1"] == 100.0  # >2px threshold
+
+
+def test_eval_cli_spatial_bands(tmp_path, rng):
+    """cli.eval --spatial_bands drives banded_forward_exact end-to-end
+    (mesh construction, shard_map trace under cross-band stats, restore,
+    validators) and agrees with the unbanded CLI run."""
+    import jax
+    import jax.random as jrandom
+
+    from dkt_stereo_tpu.cli.eval import main
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.train.checkpoint import save_checkpoint
+
+    root = _make_kitti(tmp_path, rng, const_disp=9.0)
+    model_cls, cfg_cls, _ = get_model("RAFTStereo")
+    cfg = cfg_cls(mixed_precision=False, corr_dtype="float32")
+    model = model_cls(cfg, iters=2, test_mode=False)
+    params = model.init(jrandom.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+    ckpt = save_checkpoint(str(tmp_path / "ck"), params, step=0)
+
+    import json, os
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": "RAFTStereo", "mixed_precision": False, "corr_dtype": "float32",
+    }))
+    args = ["--config", str(cfg_path), "--restore_ckpt", ckpt,
+            "--valid_iters", "2", "--datasets", "kitti-2015",
+            "--data_root", str(tmp_path)]
+    plain = main(args)
+    banded = main(args + ["--spatial_bands", "2", "--band_halo", "32"])
+    np.testing.assert_allclose(
+        banded["kitti-2015-epe"], plain["kitti-2015-epe"], rtol=1e-3
+    )
