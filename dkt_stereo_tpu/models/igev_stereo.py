@@ -30,6 +30,7 @@ from dkt_stereo_tpu.nn.igev_blocks import (
     FeatureAtt,
     HourglassIGEV,
     IGEVFeature,
+    kaiming_out,
 )
 from dkt_stereo_tpu.nn.igev_update import BasicMultiUpdateBlockIGEV
 from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume, geo_lookup
@@ -65,12 +66,82 @@ class IGEVStereoConfig:
         return cls(**kw)
 
 
+class _RawKernel(nn.Module):
+    """A single conv/deconv kernel parameter (no bias), nn.Conv tree name."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_out, self.shape, jnp.float32)
+
+
+class _SpxConvBn(nn.Module):
+    """Raw params of one BasicConvIGEV(norm='batch'): conv kernel + BN."""
+
+    shape: Tuple[int, ...]  # conv kernel shape
+    ch: int  # BN channels
+
+    @nn.compact
+    def __call__(self):
+        from dkt_stereo_tpu.nn.blocks import _RawBN
+
+        return _RawKernel(self.shape, name="conv")(), _RawBN(self.ch, name="bn")()
+
+
+class _SpxGhost(nn.Module):
+    """Raw parameter tree of the per-iteration spx upsampling chain —
+    Conv2xIGEV('spx_2_gru', deconv) — with the exact same scope paths, so
+    the (expensive, full-resolution) computation can sit under ``lax.cond``:
+    in test mode only the FINAL iteration's upsample is consumed
+    (igev_stereo.py:216-222 discards the rest) and the chain is ~1/3 of the
+    per-iteration cost at eval sizes."""
+
+    in_ch: int  # mask_feat_4 channels
+
+    @nn.compact
+    def __call__(self):
+        # ConvTransposeTorch kernel layout (k, k, O, I)
+        c1 = _SpxConvBn((4, 4, 32, self.in_ch), 32, name="conv1")()
+        c2 = _SpxConvBn((3, 3, 64, 64), 64, name="conv2")()
+        return c1, c2
+
+
+class _SpxGhostT(nn.Module):
+    """Raw params of ConvTransposeTorch('spx_gru_0', 9ch, bias)."""
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_out, (4, 4, 9, 64), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (9,), jnp.float32)
+        return k, b
+
+
+def _conv_transpose_torch(x, w, stride=2, padding=1, dt=jnp.float32):
+    """The ConvTransposeTorch math as a pure function (kernel (k,k,O,I))."""
+    k = w.shape[0]
+    w_conv = jnp.swapaxes(jnp.flip(w, axis=(0, 1)), -1, -2)
+    pad = [(k - 1 - padding, k - 1 - padding)] * 2
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), w_conv.astype(dt), (1, 1), pad,
+        lhs_dilation=(stride, stride), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _bn_eval(x, bn, dt):
+    """Eval-mode BatchNorm with flax's compute layout (eps 1e-5)."""
+    scale, bias, mean, var = bn
+    mul = (scale * jax.lax.rsqrt(var + 1e-5)).astype(dt)
+    add = (bias - mean * scale * jax.lax.rsqrt(var + 1e-5)).astype(dt)
+    return x.astype(dt) * mul + add
+
+
 class _IGEVIterStep(nn.Module):
     cfg: IGEVStereoConfig
     collect_up: bool
 
     @nn.compact
-    def __call__(self, carry, consts):
+    def __call__(self, carry, consts, is_last):
         cfg = self.cfg
         dt = cfg.compute_dtype
         net, disp, _ = carry
@@ -105,16 +176,40 @@ class _IGEVIterStep(nn.Module):
         )
         disp = disp + delta.astype(jnp.float32)
 
-        # spx upsampling (igev_stereo.py:140-148), fp32 softmax
-        xspx = Conv2xIGEV(32, True, 2, True, True, "batch", True, True, dt, name="spx_2_gru")(mask_feat_4, stem_2x)
-        spx = ConvTransposeTorch(9, 2, 4, 2, 1, 0, True, dt, name="spx_gru_0")(xspx)
-        spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
-        disp_up = context_upsample(disp * 4.0, spx)  # (B, H, W)
-
-        new_carry = (net, disp, disp_up)
         if self.collect_up:
-            return new_carry, -disp_up
-        return new_carry, jnp.zeros((), jnp.float32)
+            # spx upsampling (igev_stereo.py:140-148), fp32 softmax
+            xspx = Conv2xIGEV(32, True, 2, True, True, "batch", True, True, dt, name="spx_2_gru")(mask_feat_4, stem_2x)
+            spx = ConvTransposeTorch(9, 2, 4, 2, 1, 0, True, dt, name="spx_gru_0")(xspx)
+            spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
+            disp_up = context_upsample(disp * 4.0, spx)  # (B, H, W)
+            return (net, disp, disp_up), -disp_up
+
+        # test mode: only the FINAL iteration's upsample is consumed
+        # (igev_stereo.py:216-222) — run the full-resolution spx chain under
+        # lax.cond with raw params (same tree paths as the train modules)
+        (c1k, c1bn), (c2k, c2bn) = _SpxGhost(
+            mask_feat_4.shape[-1], name="spx_2_gru"
+        )()
+        tk, tb = _SpxGhostT(name="spx_gru_0")()
+
+        def _spx(args):
+            mf, s2, d = args
+            y = _conv_transpose_torch(mf, c1k, 2, 1, dt)
+            y = nn.leaky_relu(_bn_eval(y, c1bn, dt), negative_slope=0.01)
+            y = jnp.concatenate([y, s2.astype(dt)], axis=-1)
+            y = jax.lax.conv_general_dilated(
+                y, c2k.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = nn.leaky_relu(_bn_eval(y, c2bn, dt), negative_slope=0.01)
+            spx = _conv_transpose_torch(y, tk, 2, 1, dt) + tb.astype(dt)
+            spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
+            return context_upsample(d * 4.0, spx)  # (B, H, W)
+
+        disp_up = jax.lax.cond(
+            is_last, _spx, lambda args: carry[2], (mask_feat_4, stem_2x, disp)
+        )
+        return (net, disp, disp_up), jnp.zeros((), jnp.float32)
 
 
 class IGEVStereo(nn.Module):
@@ -227,15 +322,17 @@ class IGEVStereo(nn.Module):
             _IGEVIterStep,
             variable_broadcast=("params", "batch_stats"),
             split_rngs={"params": False},
-            in_axes=nn.broadcast,
+            in_axes=(nn.broadcast, 0),
             out_axes=0,
             length=self.iters,
         )
         step = Scan(cfg, collect, name="step")
         disp_up0 = jnp.zeros((B, Hc * 4, Wc * 4), jnp.float32)
+        is_last = jnp.arange(self.iters) == self.iters - 1
         (net, disp, disp_up), ys = step(
             (net, disp, disp_up0),
             (tuple(geo_fn.geo_pyramid), tuple(geo_fn.init_corr_pyramid), inp, coords, stem_2x),
+            is_last,
         )
 
         if self.test_mode:
