@@ -45,12 +45,12 @@ def main():
     for _ in range(3):
         np.asarray(forward(params, img1, img2))
 
-    # three timed batches of 10 frames; report the best batch (matches the
+    # five timed batches of 10 frames; report the best batch (matches the
     # reference's warm-up-excluded protocol while rejecting tunnel jitter,
     # which measures ±2% run-to-run)
     best = float("inf")
     n = 10
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n):
             out = forward(params, img1, img2)
