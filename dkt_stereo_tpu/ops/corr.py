@@ -93,8 +93,12 @@ def corr_pyramid_fused(
     num_levels: int = 4,
     normalize: bool = False,
     out_dtype=None,
+    scaled: bool = True,
 ) -> list[jnp.ndarray]:
     """Build the correlation pyramid level-by-level as ``f1 @ pooled(f2)``.
+
+    ``scaled=False`` omits the 1/sqrt(D) factor (IGEV's init correlation,
+    meta_arch/igev_stereo/geometry.py:62-69).
 
     Numerically equivalent to ``corr_pyramid(corr_volume(f1, f2))`` because
     the [1,2] average pool is linear in fmap2 (mean of dot = dot of mean) —
@@ -109,7 +113,7 @@ def corr_pyramid_fused(
         f1 = (f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1, keepdims=True)).astype(f1.dtype)
         f2 = (f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1, keepdims=True)).astype(f2.dtype)
     precision = jax.lax.Precision.HIGHEST if f1.dtype == jnp.float32 else None
-    scale = 1.0 if normalize else 1.0 / float(np.sqrt(D))
+    scale = 1.0 if (normalize or not scaled) else 1.0 / float(np.sqrt(D))
     pyramid = []
     for f2l in fmap_pyramid(f2, num_levels):
         corr = jnp.einsum(
@@ -119,7 +123,8 @@ def corr_pyramid_fused(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        corr = corr * scale
+        if scale != 1.0:
+            corr = corr * scale
         pyramid.append(corr.astype(out_dtype) if out_dtype is not None else corr)
     return pyramid
 

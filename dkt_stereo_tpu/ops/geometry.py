@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from dkt_stereo_tpu.ops.corr import corr_pyramid, corr_volume
+from dkt_stereo_tpu.ops.corr import corr_pyramid_fused
 from dkt_stereo_tpu.ops.sampler import sample_row_1d
 
 
@@ -60,10 +60,12 @@ class CombinedGeoEncodingVolume:
         (this framework's NDHWC volume layout)."""
         self.num_levels = num_levels
         self.radius = radius
-        # init correlation (no 1/sqrt(D): geometry.py:62-69 omits the scale)
-        D = fmap1.shape[-1]
-        init_corr = corr_volume(fmap1, fmap2) * jnp.sqrt(jnp.asarray(D, jnp.float32))
-        self.init_corr_pyramid = corr_pyramid(init_corr, num_levels)
+        # init correlation (no 1/sqrt(D): geometry.py:62-69 omits the scale);
+        # levels built directly as f1 @ pooled(f2) — exact, skips the
+        # volume-pool relayout (see ops/corr.py::corr_pyramid_fused)
+        self.init_corr_pyramid = corr_pyramid_fused(
+            fmap1, fmap2, num_levels, scaled=False
+        )
 
         g = geo_volume.transpose(0, 2, 3, 4, 1)  # (B,H,W,C,Disp)
         self.geo_pyramid = [g.transpose(0, 1, 2, 4, 3)]  # (B,H,W,Disp,C)
