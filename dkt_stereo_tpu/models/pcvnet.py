@@ -33,9 +33,8 @@ from dkt_stereo_tpu.nn.pcv import (
     PCVMultiBasicEncoder,
     RefineNet,
     gaussian_corr_lookup,
-    gaussian_corr_pyramid,
 )
-from dkt_stereo_tpu.ops.corr import corr_volume
+from dkt_stereo_tpu.ops.corr import corr_pyramid_fused
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align, interp_nearest
 from dkt_stereo_tpu.ops.upsample import convex_upsample
 
@@ -174,8 +173,18 @@ class PCVNet(nn.Module):
 
         fmap1 = fmap1.astype(jnp.bfloat16)
         fmap2 = fmap2.astype(jnp.bfloat16)
-        volume = corr_volume(fmap1, fmap2, out_dtype=jnp.bfloat16)
-        pyramid = tuple(gaussian_corr_pyramid(volume, cfg.corr_levels, cfg.compress_factor))
+        # pyramid levels built directly as f1 @ pooled(f2): exact (pooling is
+        # linear in fmap2) and skips the volume-pool relayouts — see
+        # ops/corr.py::corr_pyramid_fused
+        pyramid = tuple(
+            corr_pyramid_fused(
+                fmap1,
+                fmap2,
+                cfg.corr_levels,
+                out_dtype=jnp.bfloat16,
+                pool_factor=cfg.compress_factor,
+            )
+        )
 
         B, Hc, Wc, _ = fmap1.shape
         gridx = jnp.broadcast_to(

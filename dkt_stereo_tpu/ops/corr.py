@@ -75,14 +75,19 @@ def corr_pyramid(volume: jnp.ndarray, num_levels: int = 4) -> list[jnp.ndarray]:
     return pyramid
 
 
-def fmap_pyramid(fmap2: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
+def fmap_pyramid(fmap2: jnp.ndarray, num_levels: int, factor: int = 2) -> list[jnp.ndarray]:
     """Width-pooled right-feature pyramid for the memory-efficient "alt"
-    lookup (core/corr.py:104: ``avg_pool2d(fmap2, [1,2])`` per level)."""
+    lookup (core/corr.py:104: ``avg_pool2d(fmap2, [1,2])`` per level).
+    ``factor`` generalizes to PCVNet's compress_factor pooling
+    (meta_arch/pcvnet/corr.py:24-31)."""
     pyr = [fmap2]
     f = fmap2
     for _ in range(num_levels - 1):
         w = f.shape[2]
-        f = f[:, :, : (w // 2) * 2].reshape(f.shape[0], f.shape[1], w // 2, 2, f.shape[-1]).mean(3)
+        keep = (w // factor) * factor
+        f = f[:, :, :keep].reshape(
+            f.shape[0], f.shape[1], w // factor, factor, f.shape[-1]
+        ).mean(3)
         pyr.append(f)
     return pyr
 
@@ -94,11 +99,13 @@ def corr_pyramid_fused(
     normalize: bool = False,
     out_dtype=None,
     scaled: bool = True,
+    pool_factor: int = 2,
 ) -> list[jnp.ndarray]:
     """Build the correlation pyramid level-by-level as ``f1 @ pooled(f2)``.
 
     ``scaled=False`` omits the 1/sqrt(D) factor (IGEV's init correlation,
-    meta_arch/igev_stereo/geometry.py:62-69).
+    meta_arch/igev_stereo/geometry.py:62-69). ``pool_factor`` generalizes to
+    PCVNet's compress_factor pyramid (meta_arch/pcvnet/corr.py:24-31).
 
     Numerically equivalent to ``corr_pyramid(corr_volume(f1, f2))`` because
     the [1,2] average pool is linear in fmap2 (mean of dot = dot of mean) —
@@ -115,7 +122,7 @@ def corr_pyramid_fused(
     precision = jax.lax.Precision.HIGHEST if f1.dtype == jnp.float32 else None
     scale = 1.0 if (normalize or not scaled) else 1.0 / float(np.sqrt(D))
     pyramid = []
-    for f2l in fmap_pyramid(f2, num_levels):
+    for f2l in fmap_pyramid(f2, num_levels, pool_factor):
         corr = jnp.einsum(
             "bhid,bhjd->bhij",
             f1,
