@@ -171,8 +171,13 @@ class PCVNet(nn.Module):
             inp.append(tuple(jnp.split(z, 3, axis=-1)))
         inp = tuple(inp)
 
-        fmap1 = fmap1.astype(jnp.bfloat16)
-        fmap2 = fmap2.astype(jnp.bfloat16)
+        # AMP boundary: bf16 features/volume only under mixed precision —
+        # the reference's eval protocol runs the correlation fp32
+        # (evaluate_stereo.py:380), and a bf16 volume at O(50) magnitudes
+        # costs ~0.25 absolute per entry.
+        corr_dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        fmap1 = fmap1.astype(corr_dt)
+        fmap2 = fmap2.astype(corr_dt)
         # pyramid levels built directly as f1 @ pooled(f2): exact (pooling is
         # linear in fmap2) and skips the volume-pool relayouts — see
         # ops/corr.py::corr_pyramid_fused
@@ -181,7 +186,7 @@ class PCVNet(nn.Module):
                 fmap1,
                 fmap2,
                 cfg.corr_levels,
-                out_dtype=jnp.bfloat16,
+                out_dtype=corr_dt,
                 pool_factor=cfg.compress_factor,
             )
         )
