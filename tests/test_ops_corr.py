@@ -145,3 +145,56 @@ def test_disparity_regression_and_topk(rng):
     sg = torch.gather(s, 1, pool_ind)
     theirs = torch.sum(sg * pr, dim=1, keepdim=True).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_corr_pyramid_fused_matches_volume_pool(rng):
+    """f1 @ pooled(f2) level construction == pool(volume) (pooling is linear
+    in fmap2), for both the RAFT factor-2 pyramid and PCVNet's
+    compress_factor pooling, scaled and unscaled, cosine and plain."""
+    from dkt_stereo_tpu.ops.corr import corr_pyramid_fused
+
+    B, H, W, D = 2, 5, 37, 16
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, D)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, D)).astype(np.float32))
+
+    for normalize in (False, True):
+        ref = corr_pyramid(corr_volume(f1, f2, normalize=normalize), 4)
+        got = corr_pyramid_fused(f1, f2, 4, normalize=normalize)
+        for a, b in zip(ref, got):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # unscaled (IGEV init corr): fused(scaled=False) == volume * sqrt(D)
+    ref0 = corr_pyramid(corr_volume(f1, f2) * jnp.sqrt(jnp.float32(D)), 2)
+    got0 = corr_pyramid_fused(f1, f2, 2, scaled=False)
+    for a, b in zip(ref0, got0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # PCVNet compress_factor=4 pooling (keep = floor(w2/4)*4 per level)
+    from dkt_stereo_tpu.nn.pcv import gaussian_corr_pyramid
+
+    ref4 = gaussian_corr_pyramid(corr_volume(f1, f2), 3, 4)
+    got4 = corr_pyramid_fused(f1, f2, 3, pool_factor=4)
+    for a, b in zip(ref4, got4):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_thin_conv3x3_matches_dense_conv(rng):
+    """thin_conv3x3 (full-lane matmul + shifted adds) == a same-pad 3x3 conv
+    for the tiny output widths used by the flow/disp heads (1, 2, 4 ch)."""
+    from dkt_stereo_tpu.nn.gru import thin_conv3x3
+
+    for cout in (1, 2, 4):
+        x = jnp.asarray(rng.standard_normal((2, 9, 13, 32)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 32, cout)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        want = (
+            jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+        got = thin_conv3x3(x, k, b, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
