@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dkt_stereo_tpu.nn.conv3d import Conv3D, ConvBN3D, Hourglass3D
+from dkt_stereo_tpu.nn.conv3d import (
+    ConvBN3D,
+    Hourglass3D,
+    RawConv3DParams,
+    thin_conv3d,
+)
 from dkt_stereo_tpu.nn.norms import Norm
 from dkt_stereo_tpu.nn.psm import FeatureExtractionPSM
 from dkt_stereo_tpu.ops.resize import interp_trilinear_halfpix
@@ -67,7 +72,10 @@ class _Classifier(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.relu(ConvBN3D(32, 3, 1, 1, self.use_running_average, self.dtype, name="0")(x))
-        return Conv3D(1, 3, 1, 1, False, self.dtype, name="1")(x)
+        # 32→1ch tail via thin_conv3d: a direct conv pads the single output
+        # channel to a full 128-lane MXU tile (same params/tree as Conv3D)
+        k, _ = RawConv3DParams((3, 3, 3, 32, 1), use_bias=False, name="1")()
+        return thin_conv3d(x, k, None, self.dtype)
 
 
 class GWCNet(nn.Module):

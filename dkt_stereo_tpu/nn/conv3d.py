@@ -37,6 +37,59 @@ def Conv3D(features, kernel=3, stride=1, padding=1, use_bias=True, dtype=jnp.flo
     )
 
 
+class RawConv3DParams(nn.Module):
+    """Raw 3D conv parameters with nn.Conv's tree layout (kernel DHWIO
+    [+ bias]) so :func:`thin_conv3d` call sites keep .pth-importable paths."""
+
+    shape: tuple  # (kd, kh, kw, cin, cout)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", he_3d, self.shape, jnp.float32)
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+def thin_conv3d(x, kernel, bias, dtype):
+    """3×3×3 same-pad conv with FEW output channels as a full-lane matmul
+    plus 27 shifted adds (3D analogue of nn/gru.py::thin_conv3x3).
+
+    The disparity classifiers end in a (32→1)-channel conv3d over the full
+    cost volume; a direct conv pads the output to a 128-lane MXU tile —
+    ~6 ms/head at GWCNet eval geometry for ~5 real GFLOP. Here the MXU sees
+    (B·D·H·W, cin) @ (cin, 27·cout) and the tap planes reduce with shifted
+    adds on the VPU.
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    B, D, H, W, _ = x.shape
+    w = kernel.reshape(kd * kh * kw, cin, cout).transpose(1, 0, 2).reshape(cin, -1)
+    z = jnp.einsum(
+        "bdhwc,ck->bdhwk", x.astype(dtype), w.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    zp = jnp.pad(
+        z, ((0, 0), (kd // 2, kd // 2), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0))
+    )
+    out = jnp.zeros((B, D, H, W, cout), jnp.float32)
+    for i3 in range(kd):
+        for i2 in range(kh):
+            for i1 in range(kw):
+                k = (i3 * kh + i2) * kw + i1
+                out = out + jax.lax.slice(
+                    zp,
+                    (0, i3, i2, i1, k * cout),
+                    (B, i3 + D, i2 + H, i1 + W, (k + 1) * cout),
+                )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
 class ConvBN3D(nn.Module):
     """convbn_3d: bias-free conv3d + BatchNorm (gwcnet/submodules.py:12-15)."""
 
