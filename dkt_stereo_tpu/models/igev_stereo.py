@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dkt_stereo_tpu.nn.blocks import MultiBasicEncoder, conv
+from dkt_stereo_tpu.nn.conv3d import RawConv3DParams, thin_conv3d
 from dkt_stereo_tpu.nn.igev_blocks import (
     BasicConvIGEV,
     Conv2xIGEV,
@@ -274,8 +275,12 @@ class IGEVStereo(nn.Module):
         gwc = FeatureAtt(8, ura, dt, name="corr_feature_att")(gwc, feats_l[0])
         geo_volume = HourglassIGEV(8, ura, dt, name="cost_agg")(gwc, feats_l)  # (B,D4,H4,W4,8)
 
-        logits = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                         dtype=dt, name="classifier")(geo_volume)[..., 0]  # (B,D4,H4,W4)
+        # 8→1ch disparity classifier via thin_conv3d (full-lane matmul +
+        # shifted tap adds; nn.Conv-compatible param tree)
+        ck, _ = RawConv3DParams(
+            (3, 3, 3, geo_volume.shape[-1], 1), use_bias=False, name="classifier"
+        )()
+        logits = thin_conv3d(geo_volume, ck, None, dt)[..., 0]  # (B,D4,H4,W4)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
         init_disp = disparity_regression(prob.transpose(0, 2, 3, 1), D4)  # (B,H4,W4,1)
 
