@@ -28,7 +28,7 @@ def main():
     img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
 
     cases = [
-        ("RAFTStereo", RAFTStereo, RAFTStereoConfig(corr_implementation="reg_cuda", fast_in_stats=True), 32),
+        ("RAFTStereo", RAFTStereo, RAFTStereoConfig(corr_implementation="reg_cuda", pallas_encoder=True), 32),
         ("IGEVStereo", IGEVStereo, IGEVStereoConfig(corr_implementation="reg_cuda"), 32),
         ("CGI_Stereo", CGIStereo, CGIStereoConfig(), 0),
         ("GWCNet", GWCNet, GWCNetConfig(), 0),
