@@ -76,9 +76,10 @@ class PCVNetConfig:
 
 class _PCVIterStep(nn.Module):
     cfg: PCVNetConfig
+    collect_up: bool = True  # train mode: emit per-iteration upsampled outputs
 
     @nn.compact
-    def __call__(self, carry, consts):
+    def __call__(self, carry, consts, is_last):
         cfg = self.cfg
         net, coords1, sigma, w, _ = carry
         pyramid, inp, coords0 = consts
@@ -118,10 +119,21 @@ class _PCVIterStep(nn.Module):
             net, inp, corr, mu=mu, w=w_d, sigma=sigma_d,
             iter16=cfg.n_gru_layers >= 3, iter08=cfg.n_gru_layers >= 2, iter04=True,
             motion_features_list=mfl,
+            # test mode: only the final iteration's mask feeds the refinement
+            # upsample (model.py:156-162) — skip the head on the others
+            mask_pred=None if self.collect_up else is_last,
         )
         coords1 = coords0 - mu
-        disp = jnp.sum(w * mu, axis=-1, keepdims=True)  # (B,H,W,1)
+        new_carry = (net, coords1, sigma, w, up_mask)
 
+        if not self.collect_up:
+            # test mode: per-iteration outputs are never consumed — the
+            # refinement runs off the FINAL carry (model.py:156-162); the
+            # four full-resolution convex upsamples (~13ch ×9 taps ×iters of
+            # HBM writes) are recomputed once post-scan.
+            return new_carry, jnp.zeros((), jnp.float32)
+
+        disp = jnp.sum(w * mu, axis=-1, keepdims=True)  # (B,H,W,1)
         factor = 2**cfg.n_downsample
         mask32 = up_mask.astype(jnp.float32)
         mask_det = jax.lax.stop_gradient(mask32)
@@ -130,7 +142,6 @@ class _PCVIterStep(nn.Module):
         sigma_up = convex_upsample(sigma, mask_det, factor)
         w_up = convex_upsample(w, mask_det, factor, scale=False)
 
-        new_carry = (net, coords1, sigma, w, up_mask)
         ys = (disp_up, mu_up, w_up, sigma_up)
         return new_carry, ys
 
@@ -213,16 +224,18 @@ class PCVNet(nn.Module):
             _PCVIterStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=nn.broadcast,
+            in_axes=(nn.broadcast, 0),
             out_axes=0,
             length=self.iters,
         )
-        step = Scan(cfg, name="step")
+        step = Scan(cfg, collect_up=not self.test_mode, name="step")
         mask0 = jnp.zeros((B, Hc, Wc, factor**2 * 9), dt)
+        is_last = jnp.arange(self.iters) == self.iters - 1
         (net, coords1, sigma, w, up_mask), ys = step(
-            (net, coords1, sigma, w, mask0), (pyramid, inp, coords0)
+            (net, coords1, sigma, w, mask0), (pyramid, inp, coords0), is_last
         )
-        disp_seq, mu_seq, w_seq, sigma_seq = ys
+        if not self.test_mode:
+            disp_seq, mu_seq, w_seq, sigma_seq = ys
 
         # final-state refinement (model.py:156-162)
         mu = coords0 - coords1
@@ -238,14 +251,22 @@ class PCVNet(nn.Module):
         refined_up = convex_upsample(refined, mask_det, factor)[..., 0]  # (B,H,W) positive
 
         if self.cascade:
+            if self.test_mode:
+                # recompute the final iteration's upsampled parameters from
+                # the carry (identical to disp_seq[-1] etc.: the carry holds
+                # the same final mu/sigma/w/up_mask the last ys entry used)
+                return {
+                    "disp": convex_upsample(disp, mask_det, factor),
+                    "sigma": convex_upsample(sigma.astype(jnp.float32), mask_det, factor),
+                    "mu": convex_upsample(mu, mask_det, factor),
+                    "w": convex_upsample(w.astype(jnp.float32), mask_det, factor, scale=False),
+                }
             init_params = {
                 "disp": disp_seq[-1][..., None],
                 "sigma": sigma_seq[-1],
                 "mu": mu_seq[-1],
                 "w": w_seq[-1],
             }
-            if self.test_mode:
-                return init_params
             return {
                 "disp_preds": -refined_up[None],
                 "output_list": (refined_up, disp_seq, mu_seq, w_seq, sigma_seq),

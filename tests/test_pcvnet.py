@@ -125,6 +125,14 @@ def test_pcvnet_cascade(setup):
     init_params = casc.apply(params, img1, img2)
     assert set(init_params) == {"disp", "sigma", "mu", "w"}
     assert init_params["mu"].shape == (B, H, W, 4)
+    # test mode recomputes the final iteration's upsampled parameters from the
+    # scan carry — must match the train-mode per-iteration outputs exactly
+    casc_train = PCVNet(CFG, iters=2, test_mode=False, cascade=True)
+    train_ip = casc_train.apply(params, img1, img2)["init_params"]
+    for k in ("disp", "sigma", "mu", "w"):
+        np.testing.assert_allclose(
+            np.asarray(init_params[k]), np.asarray(train_ip[k]), atol=1e-5, err_msg=k
+        )
     # feed into a second full-res stage
     full = PCVNet(CFG, iters=2, test_mode=True)
     _, disp = full.apply(params, img1, img2, None, jax.lax.stop_gradient(init_params))
