@@ -58,15 +58,33 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """device_put a pytree of (B, ...) arrays with B sharded over the mesh."""
+    """Pytree of per-HOST (B_local, ...) arrays → global arrays with the batch
+    dim sharded over ``axis``. Single-process: a plain sharded device_put.
+    Multi-process: each host's batch becomes its slice of the
+    (B_local·num_hosts, ...) global batch (the loader already hands each host
+    a disjoint shard — data/loader.py num_hosts/host_id)."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+    )
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree over the mesh (params, optimizer state)."""
+    """Fully replicate a pytree over the mesh (params, optimizer state).
+    Multi-process: every host holds the full value (states are created
+    identically from the same seed / checkpoint on every host), so the
+    process-local data IS the global value."""
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x), global_shape=np.shape(x)
+        ),
+        tree,
+    )
 
 
 def cross_replica_batch_stats(mean, var, axis_name: str = "data"):
