@@ -152,12 +152,10 @@ class _IGEVIterStep(nn.Module):
         if cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas"):
             from dkt_stereo_tpu.ops.pallas.geo_lookup import geo_lookup_pallas
 
+            # pyramids arrive pre-cast to bf16 (hoisted out of the scan body
+            # by the model; see IGEVStereo.__call__) — keeps the per-level
+            # kernels inside the 16MB scoped-VMEM budget at eval sizes
             interpret = jax.default_backend() == "cpu"
-            if not interpret:
-                # bf16 pyramids keep the per-level kernels inside the 16MB
-                # scoped-VMEM budget at eval sizes (fp32 needs ~19MB)
-                geo_pyr_g = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_g)
-                geo_pyr_c = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_c)
             geo_feat = geo_lookup_pallas(
                 tuple(geo_pyr_g), tuple(geo_pyr_c), disp, coords, cfg.corr_radius, interpret
             )
@@ -322,6 +320,19 @@ class IGEVStereo(nn.Module):
         # (igev_stereo.py:151); iterations always start from init_disp
         disp = init_disp
 
+        geo_pyr_g = tuple(geo_fn.geo_pyramid)
+        geo_pyr_c = tuple(geo_fn.init_corr_pyramid)
+        if (
+            cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas")
+            and jax.default_backend() != "cpu"
+        ):
+            # cast ONCE outside the scan (a convert inside the body would
+            # re-materialize the ~100MB pyramids every iteration unless XLA's
+            # loop-invariant motion catches it); bf16 keeps the per-level
+            # Pallas kernels inside the 16MB scoped-VMEM budget
+            geo_pyr_g = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_g)
+            geo_pyr_c = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_c)
+
         collect = not self.test_mode
         Scan = nn.scan(
             _IGEVIterStep,
@@ -336,7 +347,7 @@ class IGEVStereo(nn.Module):
         is_last = jnp.arange(self.iters) == self.iters - 1
         (net, disp, disp_up), ys = step(
             (net, disp, disp_up0),
-            (tuple(geo_fn.geo_pyramid), tuple(geo_fn.init_corr_pyramid), inp, coords, stem_2x),
+            (geo_pyr_g, geo_pyr_c, inp, coords, stem_2x),
             is_last,
         )
 
