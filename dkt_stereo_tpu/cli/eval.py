@@ -76,6 +76,10 @@ def main(argv=None):
 
     config = load_model_config(args.config)
     model_cls, cfg_cls, _ = get_model(config["model"])
+    # Reference parity: the eval harness hard-disables AMP regardless of the
+    # model config (tools/evaluate_stereo.py:376-380 sets
+    # use_mixed_precision = False) — so a config's "mixed_precision": true is
+    # deliberately overridden here unless --mixed_precision is passed.
     cfg = dataclasses.replace(
         cfg_cls.from_dict(config), mixed_precision=args.mixed_precision
     )
@@ -101,9 +105,17 @@ def main(argv=None):
         from dkt_stereo_tpu.parallel import make_mesh
 
         # module-level instance norms required for cross-band statistics
-        bcfg = dataclasses.replace(cfg, pallas_encoder=False)
+        # (only RAFTStereoConfig has a pallas_encoder switch; the other
+        # model configs already use module-level norms)
+        bcfg = cfg
+        if any(f.name == "pallas_encoder" for f in dataclasses.fields(cfg)):
+            bcfg = dataclasses.replace(cfg, pallas_encoder=False)
         bmodel = model_cls(bcfg, iters=args.valid_iters, test_mode=True)
         mesh = make_mesh(args.spatial_bands, axis_names=("spatial",))
+        # replicate the checkpoint across the band mesh ONCE — inside
+        # banded_forward_exact the per-frame device_put is then a no-op
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
 
         def fwd(img1, img2):
             return np.stack(

@@ -66,6 +66,17 @@ def banded_forward_exact(
         "(pallas_encoder=False)"
     )
     assert halo % 32 == 0 and halo > 0, halo
+    # the cross-band stats machinery (nn/norms.py::_banded_instance_stats)
+    # tiles interiors at the coarsest context stride (1/32): band windows
+    # must land on 32-row boundaries, which requires the padded frame height
+    # to be a multiple of 32 as well — i.e. a 32-divisible divide_factor.
+    # A 16-divisible factor would CLAMP win0 to a misaligned offset and
+    # silently corrupt the psum'd statistics.
+    assert divide_factor % 32 == 0 and divide_factor > 0, (
+        f"banded_forward_exact requires divide_factor % 32 == 0 "
+        f"(got {divide_factor}): band windows must align to the 1/32-scale "
+        "context stride for exact cross-band instance-norm statistics"
+    )
     n_bands = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
     H, W, _ = img1.shape

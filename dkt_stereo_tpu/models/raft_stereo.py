@@ -296,6 +296,13 @@ class RAFTStereo(nn.Module):
 
         collect = not self.test_mode
         k = cfg.scan_unroll if self.iters % cfg.scan_unroll == 0 else 1
+        if k != cfg.scan_unroll:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scan_unroll=%d ignored: iters=%d is not divisible by it "
+                "(falling back to unroll=1)", cfg.scan_unroll, self.iters,
+            )
         Scan = nn.scan(
             _IterStep,
             variable_broadcast="params",

@@ -101,9 +101,12 @@ def _res_pair(in_planes, dim, norm_fn, stride, ura, dtype, name):
     return _Stage(name=name)
 
 
-class _RawConv(nn.Module):
-    """Raw conv parameters with nn.Conv's tree layout ({kernel, bias}) — the
-    fused Pallas encoder path reads weights without running the module."""
+class _ConvParams(nn.Module):
+    """Raw conv parameters with nn.Conv's tree layout ({kernel, bias}), for
+    paths that consume weights without running the module: the fused Pallas
+    encoder chain, ConvGRU's fused z/r conv, and the lax.cond mask heads.
+    Keeping nn.Conv's exact parameter paths is what lets the .pth importer
+    map reference state dicts onto these fused formulations."""
 
     features: int
     in_ch: int
@@ -158,7 +161,7 @@ class _ResBlockParams(nn.Module):
     def __call__(self):
         out = []
         for c, n in (("conv1", "norm1"), ("conv2", "norm2")):
-            k, b = _RawConv(self.dim, self.dim, 3, name=c)()
+            k, b = _ConvParams(self.dim, self.dim, 3, name=c)()
             bn = _RawBN(self.dim, name=n)() if self.norm_fn == "batch" else None
             out.append((k, b, bn))
         return tuple(out)
@@ -320,7 +323,7 @@ class BasicEncoder(nn.Module):
             and x.shape[2] % 2 == 0
         )
         if fused:
-            stem_k, _ = _RawConv(64, x.shape[-1], 7, name="conv1")()
+            stem_k, _ = _ConvParams(64, x.shape[-1], 7, name="conv1")()
             triples = _ResPairParams(64, "instance", name="layer1")()
             x = fused_fullres_layer1(x, stem_k, triples, "instance", self.dtype)
         else:
@@ -383,13 +386,13 @@ class MultiBasicEncoder(nn.Module):
             and x.shape[2] % 2 == 0
         )
         if fused:
-            nf = "batch" if self.norm_fn == "batch" else "instance"
-            stem_k, stem_b = _RawConv(64, x.shape[-1], 7, name="conv1")()
-            stem_bn = _RawBN(64, name="norm1")() if nf == "batch" else None
-            triples = _ResPairParams(64, nf, name="layer1")()
-            x = fused_fullres_layer1(
-                x, stem_k, triples, nf, dt, stem_bn=stem_bn, stem_bias=stem_b
-            )
+            # norm_fn is guaranteed non-'batch' here (the ``fused`` gate
+            # above); fused_fullres_layer1's batch arm stays available for
+            # direct callers (unit-tested in tests/test_pallas_encoder.py)
+            # but is deliberately not wired up to this model path.
+            stem_k, _ = _ConvParams(64, x.shape[-1], 7, name="conv1")()
+            triples = _ResPairParams(64, "instance", name="layer1")()
+            x = fused_fullres_layer1(x, stem_k, triples, "instance", dt)
         else:
             x = conv(64, 7, 1 + (d > 2), 3, dt, name="conv1")(x)
             x = Norm(self.norm_fn, 8, ura, dt, name="norm1")(x)

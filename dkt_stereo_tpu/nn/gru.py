@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dkt_stereo_tpu.nn.blocks import conv, kaiming_out
+from dkt_stereo_tpu.nn.blocks import _ConvParams, conv
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align, pool2x
 
 
@@ -63,23 +63,6 @@ class FlowHead(nn.Module):
         x = nn.relu(conv(self.hidden_dim, 3, 1, 1, self.dtype, name="conv1")(x))
         k, b = _ConvParams(self.output_dim, self.hidden_dim, 3, name="conv2")()
         return thin_conv3x3(x, k, b, self.dtype)
-
-
-class _ConvParams(nn.Module):
-    """Raw conv parameters with nn.Conv's tree layout (kernel HWIO + bias) —
-    lets ConvGRU fuse the z/r convolutions into one launch while keeping the
-    exact parameter paths the .pth importer expects."""
-
-    features: int
-    in_ch: int
-    kernel: int = 3
-
-    @nn.compact
-    def __call__(self):
-        k = self.kernel
-        kernel = self.param("kernel", kaiming_out, (k, k, self.in_ch, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return kernel, bias
 
 
 class ConvGRU(nn.Module):

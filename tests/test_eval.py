@@ -185,3 +185,35 @@ def test_eval_cli_spatial_bands(tmp_path, rng):
     np.testing.assert_allclose(
         banded["kitti-2015-epe"], plain["kitti-2015-epe"], rtol=1e-3
     )
+
+def test_eval_cli_spatial_bands_non_raft(tmp_path, rng):
+    """--spatial_bands must work for configs WITHOUT a pallas_encoder field
+    (everything but RAFTStereo) — regression for a dataclasses.replace
+    TypeError that killed the CLI before the banded forward ever ran."""
+    import jax.random as jrandom
+
+    from dkt_stereo_tpu.cli.eval import main
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.train.checkpoint import save_checkpoint
+
+    _make_kitti(tmp_path, rng, const_disp=9.0)
+    model_cls, cfg_cls, _ = get_model("CGI_Stereo")
+    cfg = cfg_cls(mixed_precision=False)
+    model = model_cls(cfg, test_mode=False)
+    params = model.init(
+        jrandom.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+    )
+    ckpt = save_checkpoint(str(tmp_path / "ck"), params, step=0)
+
+    import json
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({"model": "CGI_Stereo", "mixed_precision": False}))
+    args = ["--config", str(cfg_path), "--restore_ckpt", ckpt,
+            "--valid_iters", "2", "--datasets", "kitti-2015",
+            "--data_root", str(tmp_path)]
+    plain = main(args)
+    banded = main(args + ["--spatial_bands", "2", "--band_halo", "32"])
+    np.testing.assert_allclose(
+        banded["kitti-2015-epe"], plain["kitti-2015-epe"], rtol=1e-3
+    )

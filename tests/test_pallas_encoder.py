@@ -15,7 +15,7 @@ from dkt_stereo_tpu.nn.blocks import (
     BasicEncoder,
     MultiBasicEncoder,
     _RawBN,
-    _RawConv,
+    _ConvParams,
     _ResPairParams,
     fused_fullres_layer1,
 )
@@ -72,7 +72,7 @@ def test_fused_layer1_batchnorm_fold(rng):
         @nn.compact
         def __call__(self, x):
             if self.fused:
-                k, b = _RawConv(64, 3, 7, name="conv1")()
+                k, b = _ConvParams(64, 3, 7, name="conv1")()
                 bn = _RawBN(64, name="norm1")()
                 triples = _ResPairParams(64, "batch", name="layer1")()
                 return fused_fullres_layer1(
