@@ -119,6 +119,47 @@ def main():
 
     results["motion_x32"] = timeit(run_me, mu_f, corr0)
 
+    # --- full update block x32 (slow-fast 3-call sequence, mask head off):
+    # encoder + gru16x3 + gru08x2 + gru04 + updater + cross-scale glue ---
+    from dkt_stereo_tpu.nn.pcv import BasicMultiUpdateBlockPCV
+
+    H8, W8, H16, W16 = H // 8, W // 8, H // 16, W // 16
+    fdm = BasicMultiUpdateBlockPCV(3, 2, (128, 128, 128, 128), G, S, L, dt)
+    net0 = (arr(B, H4, W4, 128), arr(B, H8, W8, 128), arr(B, H16, W16, 128))
+    inp0 = tuple(
+        (arr(B, h, w, 128), arr(B, h, w, 128), arr(B, h, w, 128))
+        for h, w in ((H4, W4), (H8, W8), (H16, W16))
+    )
+    w0f = jnp.full((B, H4, W4, G), 0.25, jnp.float32)
+    # init via the FULL call (all scales + updater + mask head) so the
+    # param tree is the superset the update=False slow-fast calls reuse
+    fdm_p = fdm.init(
+        jax.random.PRNGKey(0), net0, inp0, corr0, mu=mu0, w=w0f, sigma=sig0,
+        iter16=True, iter08=True, iter04=True,
+    )
+
+    @jax.jit
+    def run_fdm(net, corr):
+        def step(c, is_last):
+            net, mu, sig, w = c
+            n, mfl = fdm.apply(fdm_p, net, inp0, corr, mu, w=w, sigma=sig,
+                               iter16=True, iter08=False, iter04=False, update=False)
+            n, mfl = fdm.apply(fdm_p, n, inp0, corr, mu, w=w, sigma=sig,
+                               iter16=True, iter08=True, iter04=False,
+                               update=False, motion_features_list=mfl)
+            n, mask, mu, sig, w = fdm.apply(
+                fdm_p, n, inp0, corr, mu=mu, w=w, sigma=sig,
+                iter16=True, iter08=True, iter04=True,
+                motion_features_list=mfl, mask_pred=is_last,
+            )
+            return (n, mu, sig, w), ()
+
+        is_last = jnp.arange(32) == 31
+        out, _ = jax.lax.scan(step, (net, mu0, sig0, w0f), is_last)
+        return scalar(out)
+
+    results["update_block_x32"] = timeit(run_fdm, net0, corr0)
+
     # --- parameters updater (flow head + closed form) x32 ---
     pu = ParametersUpdater(G, dt)
     hid = arr(B, H4, W4, 128)
