@@ -79,6 +79,20 @@ class StereoLoader:
             n += 1
         return n
 
+    def close(self):
+        """Shut down the process pool (kept across epochs for reuse).
+        Without this, interpreter teardown races the executor's management
+        thread and logs a spurious weakref traceback."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
