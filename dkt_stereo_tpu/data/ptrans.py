@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 from PIL import Image, ImageFilter, ImageOps
 
-from dkt_stereo_tpu.data.photometric import ColorJitter, adjust_hue_pil
+from dkt_stereo_tpu.data.photometric import ColorJitter
 
 
 def _random_resized_crop(img: Image.Image, out_size: int, rng, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):

@@ -9,7 +9,6 @@ feeds device_put'ed sharded batches).
 from __future__ import annotations
 
 import json
-import os
 import re
 from os.path import basename, exists, splitext
 

@@ -25,7 +25,6 @@ from dkt_stereo_tpu.nn.igev_blocks import (
 )
 from dkt_stereo_tpu.nn.mobilenetv2 import MobileNetV2Trunk
 from dkt_stereo_tpu.nn.norms import Norm
-from dkt_stereo_tpu.ops.resize import interp_bilinear_halfpix
 from dkt_stereo_tpu.ops.upsample import context_upsample
 from dkt_stereo_tpu.ops.volumes import build_norm_correlation_volume, regression_topk
 

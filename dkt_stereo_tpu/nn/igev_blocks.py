@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dkt_stereo_tpu.nn.blocks import kaiming_out
-from dkt_stereo_tpu.nn.norms import InstanceNorm, Norm
+from dkt_stereo_tpu.nn.norms import Norm
 from dkt_stereo_tpu.ops.resize import interp_nearest
 
 

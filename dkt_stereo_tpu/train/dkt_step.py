@@ -20,8 +20,6 @@ Data parallelism: this function is pure; jit it with sharded batch inputs
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +27,7 @@ import jax.numpy as jnp
 from dkt_stereo_tpu.dkt.ema import ema_update
 from dkt_stereo_tpu.dkt.fande import fande_ensemble, fande_filter
 from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
-from dkt_stereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
+from dkt_stereo_tpu.models.raft_stereo import RAFTStereo
 from dkt_stereo_tpu.train.state import DKTHyperParams, DKTTrainState, make_optimizer
 
 
