@@ -142,6 +142,43 @@ def _ref_gwc(pth):
     return m.eval()
 
 
+def _ref_igev(pth):
+    import torch
+
+    pkg = os.path.join(REF, "meta_arch", "igev_stereo")
+    _load_pkg("ref_igev_pkg", os.path.join(pkg, "__init__.py"), [pkg])
+    cls = importlib.import_module("ref_igev_pkg.igev_stereo").IGEVStereo
+    a = _Args(corr_levels=2, corr_radius=4, n_downsample=2,
+              slow_fast_gru=False, n_gru_layers=3, hidden_dims=[128, 128, 128],
+              max_disp=192, mixed_precision=False)
+    if not os.path.exists(pth):
+        torch.manual_seed(3)
+        m = cls(a)
+        torch.save({"state_dict": {f"module.{k}": v for k, v in m.state_dict().items()}}, pth)
+    m = cls(a)
+    sd = torch.load(pth, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    m.load_state_dict({k.removeprefix("module."): v for k, v in sd.items()})
+    return m.eval()
+
+
+def _ref_cgi(pth):
+    import torch
+
+    pkg = os.path.join(REF, "meta_arch", "cgi")
+    _load_pkg("ref_cgi_pkg", os.path.join(pkg, "__init__.py"), [pkg])
+    cls = importlib.import_module("ref_cgi_pkg.CGI_Stereo").CGI_Stereo
+    a = _Args(maxdisp=192, mixed_precision=False)
+    if not os.path.exists(pth):
+        torch.manual_seed(5)
+        m = cls(a)
+        torch.save({"state_dict": {f"module.{k}": v for k, v in m.state_dict().items()}}, pth)
+    m = cls(a)
+    sd = torch.load(pth, map_location="cpu")["state_dict"]
+    m.load_state_dict({k[len("module."):]: v for k, v in sd.items()})
+    return m.eval()
+
+
 def _ref_pcv(pth, valid_iters):
     import torch
 
@@ -245,6 +282,23 @@ def main():
         ref = ev.validate_kitti(m, iters=4, split="2015", divide_factor=32)
     ours = _ours_eval("configs/gwcnet/base_gc.json", f"{VFX}/gwc_random.pth", 4)
     rows.append({"model": "gwcnet", "ref": ref, "ours": ours})
+    print(json.dumps(rows[-1]), flush=True)
+
+    # IGEV/CGI: MobileNetV2 trunk from tests/fake_timm (the reference's timm
+    # import faked identically on both sides; trunk weights travel in the
+    # .pth so the comparison is still identical-weights).
+    m = _ref_igev(f"{VFX}/igev_random.pth")
+    with torch.no_grad():
+        ref = ev.validate_kitti(m, iters=8, split="2015", divide_factor=32)
+    ours = _ours_eval("configs/igev_stereo/base.json", f"{VFX}/igev_random.pth", 8)
+    rows.append({"model": "igev_stereo", "ref": ref, "ours": ours})
+    print(json.dumps(rows[-1]), flush=True)
+
+    m = _ref_cgi(f"{VFX}/cgi_random.pth")
+    with torch.no_grad():
+        ref = ev.validate_kitti(m, iters=4, split="2015", divide_factor=32)
+    ours = _ours_eval("configs/cgi/base.json", f"{VFX}/cgi_random.pth", 4)
+    rows.append({"model": "cgi_stereo", "ref": ref, "ours": ours})
     print(json.dumps(rows[-1]), flush=True)
 
     # PCVNet: compare the MAPS under the reference's metric (its validate
