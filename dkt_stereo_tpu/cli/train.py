@@ -60,6 +60,16 @@ def parse_args(argv=None):
                    help="host:port of process 0, e.g. 10.0.0.1:1234")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # observability (train/profiling.py)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace (XLA ops + Pallas "
+                        "kernels, TensorBoard-viewable) of steps "
+                        "[--profile_start, --profile_start+--profile_steps)")
+    p.add_argument("--profile_start", type=int, default=3,
+                   help="first step to trace (skip compile + warm-up)")
+    p.add_argument("--profile_steps", type=int, default=3)
+    p.add_argument("--profile_port", type=int, default=None,
+                   help="also start a live jax.profiler server on this port")
     return p.parse_args(argv)
 
 
@@ -172,12 +182,32 @@ def train(args) -> str:
     total_steps = int(state.step)
     logging.info("training %s for %d steps on %d devices", config["model"], args.num_steps, len(jax.devices()))
 
+    if args.profile_port is not None and host_id == 0:
+        from dkt_stereo_tpu.train.profiling import start_server
+
+        start_server(args.profile_port)
+    prof_window = None
+    tracing = False
+    if args.profile_dir is not None and host_id == 0:
+        prof_window = (
+            int(state.step) + args.profile_start,
+            int(state.step) + args.profile_start + args.profile_steps,
+        )
+
     while total_steps <= args.num_steps:
         for batch in loader:
+            if prof_window is not None and not tracing and total_steps == prof_window[0]:
+                jax.profiler.start_trace(args.profile_dir)
+                tracing = True
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, shard_batch(batch, mesh), sub)
             total_steps += 1
             cur["step"] = total_steps
+            if tracing and total_steps >= prof_window[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                logging.info("profiler trace written to %s", args.profile_dir)
+                prof_window, tracing = None, False
             host_metrics = {k: float(v) for k, v in metrics.items()}
             lg.writer.add_scalar("live_loss", host_metrics["loss"], total_steps)
             lg.writer.add_scalar("learning_rate", host_metrics["learning_rate"], total_steps)
@@ -221,6 +251,9 @@ def train(args) -> str:
             if total_steps > args.num_steps:
                 break
 
+    if tracing:  # window extended past num_steps
+        jax.profiler.stop_trace()
+        logging.info("profiler trace written to %s", args.profile_dir)
     final = save_checkpoint(str(save_dir), state)
     logging.info("FINISHED TRAINING -> %s", final)
     lg.close()
