@@ -70,6 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--profile_steps", type=int, default=3)
     p.add_argument("--profile_port", type=int, default=None,
                    help="also start a live jax.profiler server on this port")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize (jax.checkpoint) each refinement "
+                        "iteration in the backward pass: activation HBM "
+                        "drops from O(train_iters) to O(1) step activations "
+                        "for one extra forward per iteration; numerics "
+                        "identical (tests/test_remat.py)")
     return p.parse_args(argv)
 
 
@@ -104,6 +110,8 @@ def train(args) -> str:
     from dkt_stereo_tpu.utils.logging import Logger
 
     config = load_model_config(args.config)
+    if getattr(args, "remat", False):
+        config["remat_iters"] = True
     model_cls, cfg_cls, _loss = get_model(config["model"])
     cfg = cfg_cls.from_dict(config)
     from dkt_stereo_tpu.models.registry import make_loss_adapter

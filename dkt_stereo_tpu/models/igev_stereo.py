@@ -55,6 +55,9 @@ class IGEVStereoConfig:
     freeze_backbone: bool = True  # torch.no_grad() trunk (igev_stereo.py:157)
     # "reg" = XLA lookup; "reg_cuda"/"pallas" = fused Pallas geo-lookup kernel
     corr_implementation: str = "reg"
+    # TPU extension: jax.checkpoint each GRU iteration (activation memory
+    # O(1) in iters; numerics identical — tests/test_remat.py)
+    remat_iters: bool = False
 
     @property
     def compute_dtype(self):
@@ -334,8 +337,13 @@ class IGEVStereo(nn.Module):
             geo_pyr_c = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_c)
 
         collect = not self.test_mode
+        step_cls = (
+            nn.remat(_IGEVIterStep, prevent_cse=False)
+            if cfg.remat_iters
+            else _IGEVIterStep
+        )
         Scan = nn.scan(
-            _IGEVIterStep,
+            step_cls,
             variable_broadcast=("params", "batch_stats"),
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),

@@ -58,6 +58,9 @@ class PCVNetConfig:
     valid_iters: int = 32
     # "reg" = XLA gather lookup; "reg_cuda"/"pallas" = fused Pallas sampler
     corr_implementation: str = "reg"
+    # TPU extension: jax.checkpoint each FDM iteration (activation memory
+    # O(1) in iters; numerics identical — tests/test_remat.py)
+    remat_iters: bool = False
 
     @property
     def compute_dtype(self):
@@ -220,8 +223,11 @@ class PCVNet(nn.Module):
             sigma = jnp.full((B, Hc, Wc, G), cfg.init_sigma / factor, jnp.float32)
             w = jnp.full((B, Hc, Wc, G), 1.0 / G, jnp.float32)
 
+        step_cls = (
+            nn.remat(_PCVIterStep, prevent_cse=False) if cfg.remat_iters else _PCVIterStep
+        )
         Scan = nn.scan(
-            _PCVIterStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),

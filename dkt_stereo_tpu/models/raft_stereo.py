@@ -81,6 +81,13 @@ class RAFTStereoConfig:
     # (the kernel has no VJP); exact instance-norm statistics; numerics
     # match the XLA path to bf16 accumulation order.
     pallas_encoder: bool = False
+    # TPU extension: rematerialize (jax.checkpoint) each refinement
+    # iteration in the backward pass. Activation memory of the training
+    # step drops from O(iters) to O(1) step activations at the cost of one
+    # extra forward per iteration — the idiomatic HBM-for-FLOPs trade for
+    # long unrolls / large crops. Numerics identical (pinned by
+    # tests/test_remat.py).
+    remat_iters: bool = False
 
     @property
     def compute_dtype(self):
@@ -303,8 +310,12 @@ class RAFTStereo(nn.Module):
                 "scan_unroll=%d ignored: iters=%d is not divisible by it "
                 "(falling back to unroll=1)", cfg.scan_unroll, self.iters,
             )
+        # prevent_cse=False is safe (and faster) under lax.scan
+        step_cls = (
+            nn.remat(_IterStep, prevent_cse=False) if cfg.remat_iters else _IterStep
+        )
         Scan = nn.scan(
-            _IterStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
