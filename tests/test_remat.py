@@ -100,6 +100,50 @@ def test_pcv_remat_grads_identical(images):
     )
 
 
+def test_remat_composes_with_sharded_dkt_step():
+    """remat inside nn.scan inside the jitted sharded DKT train step on the
+    8-device virtual mesh — the full production composition."""
+    import numpy as np
+
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.models.registry import make_loss_adapter
+    from dkt_stereo_tpu.parallel import make_mesh, replicate, shard_batch
+    from dkt_stereo_tpu.train import (
+        DKTHyperParams,
+        create_dkt_state,
+        make_dkt_train_step,
+    )
+
+    hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100)
+    mesh = make_mesh(8)
+    B, H, W = 8, 32, 64
+    rng = np.random.default_rng(0)
+    batch = shard_batch(
+        {
+            "img1": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
+            "img2": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
+            "img1_clean": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
+            "img2_clean": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
+            "flow": -rng.uniform(0, 20, (B, H, W)).astype(np.float32),
+            "valid": np.ones((B, H, W), np.float32),
+        },
+        mesh,
+    )
+    model_cls, cfg_cls, _ = get_model("RAFTStereo")
+    cfg = cfg_cls(mixed_precision=False, remat_iters=True)
+    state = replicate(
+        create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W), model_cls=model_cls),
+        mesh,
+    )
+    step_fn = make_dkt_train_step(
+        cfg, hyper, model_cls=model_cls,
+        loss_adapter=make_loss_adapter("RAFTStereo", cfg),
+    )
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_train_cli_flag_reaches_config(tmp_path):
     """--remat flips remat_iters in the parsed model config; unknown-key
     filtering keeps it harmless for the non-iterative families."""
