@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dkt_stereo_tpu.ops.warp import disp_warp, ssim
+from dkt_stereo_tpu.ops.warp import disp_warp
 
 
 def gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
@@ -50,7 +50,14 @@ def ssim_gaussian(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -
 
 
 def reprojection_error(img_left, img_right, disp=None, valid_mask=None):
-    """utils/confidence.py:86-103: warp right by −disp, 0.15·L1 + 0.85·(1−SSIM)/2."""
+    """utils/confidence.py:86-103: warp right by −disp (``disp`` in this
+    repo's negative-flow convention), 0.15·L1 + 0.85·(1−SSIM)/2 with the
+    GAUSSIAN-window SSIM (the reference's ``ssim``, :43-60 — not the NeRF
+    loss's uniform-window SSIM distance). Documented divergence: the warp is
+    the shared ``ops.warp.disp_warp`` ((W−1) grid normalization, the
+    reference's own norm_grid, nerf_stereo/loss.py:29-35) rather than the
+    MonoDepth-quirk warp of utils/confidence.py:74-78 which scales the shift
+    by (W−1)/W — a sub-pixel difference of |d|/W px."""
     if disp is not None:
         warped, _ = disp_warp(img_right, -disp)
     else:
@@ -58,7 +65,7 @@ def reprojection_error(img_left, img_right, disp=None, valid_mask=None):
     if valid_mask is None:
         valid_mask = jnp.ones_like(img_left[..., :1])
     l1 = jnp.abs(warped * valid_mask - img_left * valid_mask).mean()
-    s = (valid_mask * ssim(img_left, warped)).mean(axis=-1)
+    s = (valid_mask * (1.0 - ssim_gaussian(img_left, warped)) / 2.0).mean(axis=-1)
     return 0.15 * l1 + 0.85 * s
 
 

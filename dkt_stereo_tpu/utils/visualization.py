@@ -30,17 +30,28 @@ _ERROR_COLS = np.array(
 _ERROR_COLS[:, 2:5] /= 255.0
 
 
-def _jet(x: np.ndarray) -> np.ndarray:
-    """matplotlib 'jet' colormap on [0,1] → (..., 3) floats in [0,1]."""
-    x = np.clip(x, 0.0, 1.0)
+# matplotlib 'jet' segment data + 256-entry LUT, replicated exactly (the
+# reference colors disparities with mpl's cm.jet, visualization.py:258-262;
+# tests/test_readers_viz.py pins bit-parity against matplotlib)
+_JET_N = 256
 
-    def interp(v, lo, hi):
-        return np.clip((v - lo) / (hi - lo), 0.0, 1.0)
 
-    r = np.clip(interp(x, 0.375, 0.625) - interp(x, 0.875, 1.125), 0, 1)
-    g = np.clip(interp(x, 0.125, 0.375) - interp(x, 0.625, 0.875), 0, 1)
-    b = np.clip(interp(x, -0.125, 0.125) - interp(x, 0.375, 0.625), 0, 1)
+def _jet_lut() -> np.ndarray:
+    xs = np.linspace(0.0, 1.0, _JET_N)
+    r = np.interp(xs, [0.0, 0.35, 0.66, 0.89, 1.0], [0.0, 0.0, 1.0, 1.0, 0.5])
+    g = np.interp(xs, [0.0, 0.125, 0.375, 0.64, 0.91, 1.0], [0.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+    b = np.interp(xs, [0.0, 0.11, 0.34, 0.65, 1.0], [0.5, 1.0, 1.0, 0.0, 0.0])
     return np.stack([r, g, b], axis=-1)
+
+
+_JET_LUT = _jet_lut()
+
+
+def _jet(x: np.ndarray) -> np.ndarray:
+    """matplotlib 'jet' colormap on [0,1] → (..., 3) floats in [0,1];
+    LUT-quantized exactly like mpl's Colormap.__call__ (idx = int(x·N))."""
+    idx = np.clip((np.asarray(x, np.float64) * _JET_N).astype(np.int64), 0, _JET_N - 1)
+    return _JET_LUT[idx]
 
 
 def disp_to_color(disp: np.ndarray, max_disp=None):

@@ -1,0 +1,339 @@
+"""Coverage for the components a textual scan found untested: the
+Middlebury/Booster/FallingThings/TartanAir disparity readers, the .flo and
+KITTI-flow codecs, read_gen dispatch, the visualization suite (jet colormap,
+KITTI error map, PLY export, depth-binned EPE) against the ACTUAL reference
+implementations as oracles, the TB/JSONL logger, and the confidence/NeRF
+photometric losses vs the reference torch code."""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dkt_stereo_tpu.data import readers
+
+REF = "/root/reference"
+
+
+def _load_ref(relpath, name):
+    """Load a reference module standalone (meta_arch/__init__ is broken)."""
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------- readers
+
+
+def test_read_disp_middlebury_gt_and_estimate(tmp_path, rng):
+    from PIL import Image
+
+    d = rng.uniform(1, 300, (13, 17)).astype(np.float32)
+    gt = tmp_path / "disp0GT.pfm"
+    readers.writePFM(str(gt), d)
+    nocc = (rng.uniform(0, 1, (13, 17)) > 0.3).astype(np.uint8) * 255
+    Image.fromarray(nocc).save(tmp_path / "mask0nocc.png")
+
+    disp, valid = readers.readDispMiddlebury(str(gt))
+    np.testing.assert_allclose(disp, d, rtol=1e-6)
+    np.testing.assert_array_equal(valid, nocc == 255)
+
+    # estimate variant: <1e3 validity (frame_utils.py:192-196)
+    d2 = d.copy()
+    d2[0, 0] = np.inf
+    est = tmp_path / "disp0.pfm"
+    readers.writePFM(str(est), d2)
+    disp, valid = readers.readDispMiddlebury(str(est))
+    assert not valid[0, 0] and valid[1:].all()
+
+    with pytest.raises(ValueError):
+        readers.readDispMiddlebury(str(tmp_path / "something_else.pfm"))
+
+
+def test_read_disp_booster(tmp_path, rng):
+    d = rng.uniform(-10, 600, (9, 11)).astype(np.float32)
+    p = tmp_path / "disp_00.npy"
+    np.save(p, d)
+    disp, valid = readers.readDispBooster(str(p))
+    np.testing.assert_array_equal(disp, d)
+    np.testing.assert_array_equal(valid, (d > 0) & (d < 512))
+
+
+def test_read_disp_fallingthings(tmp_path, rng):
+    from PIL import Image
+
+    depth = rng.integers(100, 60000, (7, 9)).astype(np.uint16)
+    Image.fromarray(depth).save(tmp_path / "left.depth.png")
+    fx = 768.2
+    cam = {"camera_settings": [{"intrinsic_settings": {"fx": fx}}]}
+    with open(tmp_path / "_camera_settings.json", "w") as f:
+        json.dump(cam, f)
+    disp, valid = readers.readDispFallingThings(str(tmp_path / "left.depth.png"))
+    np.testing.assert_allclose(disp, fx * 600.0 / depth.astype(np.float32), rtol=1e-6)
+    assert valid.all()
+
+
+def test_read_disp_tartanair(tmp_path, rng):
+    depth = rng.uniform(1, 100, (7, 9)).astype(np.float32)
+    np.save(tmp_path / "d.npy", depth)
+    disp, valid = readers.readDispTartanAir(str(tmp_path / "d.npy"))
+    np.testing.assert_allclose(disp, 80.0 / depth, rtol=1e-6)
+    assert valid.all()
+
+
+def test_flo_and_kitti_flow_roundtrip(tmp_path, rng):
+    flow = rng.uniform(-40, 40, (6, 8, 2)).astype(np.float32)
+    # .flo (frame_utils.py:41-60 layout)
+    p = tmp_path / "a.flo"
+    with open(p, "wb") as f:
+        np.float32(202021.25).tofile(f)
+        np.int32(8).tofile(f)
+        np.int32(6).tofile(f)
+        flow.tofile(f)
+    np.testing.assert_array_equal(readers.readFlow(str(p)), flow)
+    with open(tmp_path / "bad.flo", "wb") as f:
+        np.float32(1.0).tofile(f)
+    with pytest.raises(ValueError):
+        readers.readFlow(str(tmp_path / "bad.flo"))
+
+    # KITTI 16-bit png codec: quantized to 1/64 px
+    kp = tmp_path / "k.png"
+    readers.writeFlowKITTI(str(kp), flow)
+    back, valid = readers.readFlowKITTI(str(kp))
+    np.testing.assert_allclose(back, flow, atol=1.0 / 64)
+    assert (valid == 1).all()
+
+
+def test_read_gen_dispatch(tmp_path, rng):
+    from PIL import Image
+
+    img = rng.integers(0, 255, (5, 6, 3)).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "x.png")
+    out = readers.read_gen(str(tmp_path / "x.png"))
+    assert np.asarray(out).shape == (5, 6, 3)  # PIL image
+
+    arr = rng.uniform(0, 1, (5, 6)).astype(np.float32)
+    readers.writePFM(str(tmp_path / "x.pfm"), arr)
+    np.testing.assert_allclose(readers.read_gen(str(tmp_path / "x.pfm")), arr, rtol=1e-6)
+
+
+# ---------------------------------------------------------- visualization
+
+
+def test_jet_matches_matplotlib_exactly(rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import cm
+
+    from dkt_stereo_tpu.utils.visualization import _jet
+
+    x = np.clip(rng.uniform(-0.1, 1.1, 5000), 0, 1)
+    np.testing.assert_allclose(_jet(x), cm.jet(x)[..., :3], atol=1e-12)
+
+
+def test_disp_to_color_matches_reference(rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    ref = _load_ref("utils/visualization.py", "ref_viz")
+
+    from dkt_stereo_tpu.utils.visualization import disp_to_color
+
+    d = rng.uniform(0, 80, (23, 31)).astype(np.float32)
+    ours, m_ours = disp_to_color(d)
+    theirs, m_ref = ref.disp_to_color(d)
+    assert m_ours == m_ref
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+    # explicit max_disp path
+    ours2, _ = disp_to_color(d, max_disp=192)
+    theirs2, _ = ref.disp_to_color(d, max_disp=192)
+    np.testing.assert_allclose(ours2, theirs2, atol=1e-6)
+
+
+def test_disp_error_map_matches_reference(rng):
+    import matplotlib
+    import torch
+
+    matplotlib.use("Agg")
+    ref = _load_ref("utils/visualization.py", "ref_viz2")
+
+    from dkt_stereo_tpu.utils.visualization import disp_error_map
+
+    gt = rng.uniform(1, 80, (2, 19, 27)).astype(np.float32)
+    est = gt + rng.normal(0, 4, gt.shape).astype(np.float32)
+    valid = (rng.uniform(0, 1, gt.shape) > 0.2).astype(np.float32)
+
+    ours = disp_error_map(est, gt, valid=valid)
+    theirs = ref.disp_error_map(
+        torch.from_numpy(est), torch.from_numpy(gt), valid=torch.from_numpy(valid)
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_disp_to_ply_and_depth(tmp_path, rng):
+    from dkt_stereo_tpu.utils.visualization import disp_to_depth, disp_to_ply
+
+    H, W, focal, baseline = 6, 8, 700.0, 0.54
+    disp = rng.uniform(0.5, 60, (H, W)).astype(np.float32)
+    disp[0, 0] = 0.0  # dropped from the cloud
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    p = tmp_path / "cloud.ply"
+    disp_to_ply(str(p), disp, img, focal, baseline)
+    lines = p.read_text().splitlines()
+    n = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
+    assert n == H * W - 1
+    body = lines[lines.index("end_header") + 1 :]
+    assert len(body) == n
+    # first kept vertex is pixel (0,1): check depth algebra
+    x, y, z, r, g, b = body[0].split()
+    np.testing.assert_allclose(float(z), focal * baseline / disp[0, 1], rtol=1e-3)
+    assert (int(r), int(g), int(b)) == tuple(img[0, 1])
+    np.testing.assert_allclose(
+        disp_to_depth(disp[0, 1], focal, baseline), focal * baseline / disp[0, 1]
+    )
+
+
+def test_epe_on_depth_bins(rng):
+    from dkt_stereo_tpu.utils.visualization import epe_on_depth
+
+    focal, baseline = 1000.0, 0.1  # depth = 100/disp
+    # disp 20 -> depth 5 (bin 0-10); disp 4 -> depth 25 (bin 20-30)
+    gt = np.array([[20.0, 4.0]])
+    pred = np.array([[21.0, 6.0]])
+    out = epe_on_depth(pred, gt, np.ones_like(gt), focal=focal, baseline=baseline,
+                       bins=(0, 10, 20, 30, np.inf))
+    assert out["epe_depth_0_10"] == 1.0
+    assert out["epe_depth_20_30"] == 2.0
+    assert np.isnan(out["epe_depth_10_20"])
+
+
+# ----------------------------------------------------------------- logger
+
+
+def test_logger_running_means_and_jsonl(tmp_path, monkeypatch):
+    import dkt_stereo_tpu.utils.logging as L
+
+    # force the JSONL fallback regardless of torch availability
+    monkeypatch.setattr(L, "make_writer", lambda d: L._JsonlWriter(d))
+    lg = L.Logger(save_root=str(tmp_path), get_lr=lambda: 0.01)
+    for i in range(L.Logger.SUM_FREQ):
+        lg.push({"loss": float(i), "epe": 2.0})
+    lg.write_dict({"kitti-epe": 1.5})
+    lg.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    by_tag = {r["tag"]: r for r in rows}
+    # the reference's own emission quirk (ft_dkt.py:91-102): flush fires at
+    # push #SUM_FREQ-1 with 99 accumulated values yet divides by SUM_FREQ
+    np.testing.assert_allclose(by_tag["loss"]["value"], np.arange(99.0).sum() / 100.0)
+    np.testing.assert_allclose(by_tag["epe"]["value"], 2.0 * 99 / 100)
+    np.testing.assert_allclose(by_tag["kitti-epe"]["value"], 1.5)
+
+
+def test_save_scalars_and_images(tmp_path):
+    import dkt_stereo_tpu.utils.logging as L
+
+    w = L._JsonlWriter(str(tmp_path))
+    L.save_scalars(w, "train", {"a": 1.0, "b": [2.0, 3.0]}, 7)
+    L.save_images(w, "train", {"disp": np.zeros((2, 5, 6), np.float32)}, 7)  # no-op
+    w.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    tags = {r["tag"] for r in rows}
+    assert tags == {"train/a", "train/b_0", "train/b_1"}
+
+
+# ------------------------------------------- confidence / photometric oracles
+
+
+def _smooth(rng, shape, k=5):
+    import cv2
+
+    x = rng.uniform(0, 1, shape).astype(np.float32)
+    return cv2.blur(x.reshape(-1, *shape[-2:]), (k, k)).reshape(shape)
+
+
+def test_reprojection_error_matches_reference(rng):
+    import torch
+
+    ref = _load_ref("utils/confidence.py", "ref_conf")
+
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.dkt.confidence import reprojection_error
+
+    B, H, W = 1, 24, 32
+    il = np.moveaxis(_smooth(rng, (B, 3, H, W)), 1, -1)
+    ir = np.moveaxis(_smooth(rng, (B, 3, H, W)), 1, -1)
+
+    # disp=None isolates the 0.15·L1 + 0.85·(1−gaussianSSIM)/2 formula: exact
+    ours = np.asarray(reprojection_error(jnp.asarray(il), jnp.asarray(ir)))
+    theirs = ref.reprojection_error(
+        torch.from_numpy(np.moveaxis(il, -1, 1)),
+        torch.from_numpy(np.moveaxis(ir, -1, 1)),
+    ).numpy()
+    np.testing.assert_allclose(ours, np.broadcast_to(theirs, ours.shape), atol=5e-5)
+
+    # warped path: ours takes the repo-wide NEGATIVE disparity and uses the
+    # shared (W−1)-normalized warp; the reference's MonoDepth-quirk warp
+    # (confidence.py:74-82) normalizes the grid with (W−1) but samples with
+    # align_corners=False — a global ~half-pixel misalignment plus a
+    # (W−1)/W shift scale. Documented divergence (dkt/confidence.py): bound
+    # the disagreement rather than chase the misaligned oracle.
+    disp_pos = _smooth(rng, (B, 1, H, W)) * 4.0
+    ours = np.asarray(
+        reprojection_error(
+            jnp.asarray(il), jnp.asarray(ir), -jnp.moveaxis(jnp.asarray(disp_pos), 1, -1)
+        )
+    )
+    theirs = np.broadcast_to(
+        ref.reprojection_error(
+            torch.from_numpy(np.moveaxis(il, -1, 1)),
+            torch.from_numpy(np.moveaxis(ir, -1, 1)),
+            torch.from_numpy(disp_pos),
+        ).numpy(),
+        ours.shape,
+    )
+    d = np.abs(ours - theirs)
+    assert d.max() < 0.06 and d.mean() < 0.012, (d.max(), d.mean())
+
+
+def test_trinocular_loss_matches_reference(rng):
+    import functools
+
+    import torch
+
+    ref = _load_ref("meta_arch/nerf_stereo/loss.py", "ref_ns_loss")
+    # the reference hardcodes device='cuda' inside disp_warp (loss.py:73-84)
+    ref.disp_warp = functools.partial(ref.disp_warp, device="cpu")
+
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.losses.nerf import trinocular_loss
+
+    B, H, W = 1, 24, 32
+    ims = [np.moveaxis(_smooth(rng, (B, 3, H, W)), 1, -1) for _ in range(3)]
+    disp = -(_smooth(rng, (B, 1, H, W)) * 4.0)  # negative convention
+    unc = _smooth(rng, (B, 1, H, W))[:, 0]
+    valid = np.ones((B, H, W), np.float32)
+
+    ours = float(
+        trinocular_loss(
+            jnp.moveaxis(jnp.asarray(disp), 1, -1),
+            jnp.asarray(ims[0]), jnp.asarray(ims[1]), jnp.asarray(ims[2]),
+            jnp.asarray(unc), jnp.asarray(valid),
+        )
+    )
+    theirs = float(
+        ref.trinocular_loss(
+            torch.from_numpy(disp),
+            torch.from_numpy(np.moveaxis(ims[0], -1, 1)),
+            torch.from_numpy(np.moveaxis(ims[1], -1, 1)),
+            torch.from_numpy(np.moveaxis(ims[2], -1, 1)),
+            torch.from_numpy(unc),
+            valid=torch.from_numpy(valid[:, None]),
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
