@@ -191,3 +191,44 @@ def test_step_timer_excludes_warmup():
     assert t.count == 5
     # first two samples excluded: mean over the 3 timed iterations
     assert 0 < t.steps_per_sec < 1000
+
+
+def test_nerfstereo_dataset(tmp_path, rng):
+    import cv2
+
+    from dkt_stereo_tpu.data.triplet import NerfStereo
+
+    dp = tmp_path / "ns"
+    os.makedirs(dp, exist_ok=True)
+    H, W = 40, 64
+    names = ["l.png", "c.png", "r.png"]
+    for n in names:
+        _png(str(dp / n), rng, H, W)
+    disp = rng.uniform(1, 30, (H, W)).astype(np.float32)
+    cv2.imwrite(str(dp / "d.png"), (disp * 64).astype(np.uint16))
+    conf = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    cv2.imwrite(str(dp / "conf.png"), (conf * 65536).clip(0, 65535).astype(np.uint16))
+    tf = tmp_path / "train.txt"
+    tf.write_text("l.png c.png r.png d.png conf.png\n")
+
+    ds = NerfStereo(datapath=str(dp), training_file=str(tf),
+                    aug_params={"crop_size": (32, 48)})
+    assert len(ds) == 1
+    s = ds.get_sample(0, rng=np.random.default_rng(0))
+    assert set(s) == {"im1_forward", "im2_forward", "flow", "conf", "im0", "im1", "im2"}
+    assert s["im1_forward"].shape == (32, 48, 3)
+    assert (s["flow"] <= 0).all()  # negative convention
+    assert 0 <= s["conf"].min() and s["conf"].max() <= 1.0 + 1e-6
+
+
+def test_crop_augmentor(rng):
+    from dkt_stereo_tpu.data.augmentor import CropAugmentor
+
+    aug = CropAugmentor((16, 24), rng=np.random.default_rng(1))
+    img1 = rng.uniform(0, 255, (40, 64, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (40, 64, 3)).astype(np.float32)
+    flow = rng.uniform(-30, 0, (40, 64, 2)).astype(np.float32)
+    c1, c2, cf = aug(img1, img2, flow)
+    assert c1.shape == (16, 24, 3) and c2.shape == (16, 24, 3) and cf.shape == (16, 24, 2)
+    # the crop is a window of the source: every cropped row exists in img1
+    assert any(np.array_equal(c1[0], img1[y, x : x + 24]) for y in range(40) for x in range(41))
