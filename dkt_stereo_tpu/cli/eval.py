@@ -53,11 +53,7 @@ def main(argv=None):
     from dkt_stereo_tpu.eval.validate import (
         make_forward_fn,
         preflight,
-        validate_booster,
-        validate_eth3d,
-        validate_kitti,
-        validate_middlebury,
-        validate_things,
+        run_validator,
     )
     from dkt_stereo_tpu.models import get_model
     from dkt_stereo_tpu.train.checkpoint import import_reference_pth, restore_checkpoint
@@ -132,21 +128,7 @@ def main(argv=None):
         fwd = make_forward_fn(model_cls, cfg, params, iters=args.valid_iters)
     results = {}
     for name in args.datasets:
-        if name == "eth3d":
-            results.update(validate_eth3d(fwd, f"{args.data_root}/ETH3D", args.divide_factor))
-        elif name.startswith("middlebury"):
-            res = name.split("-")[1] if "-" in name else "H"
-            results.update(validate_middlebury(fwd, res, f"{args.data_root}/Middlebury", divide_factor=args.divide_factor))
-        elif name.startswith("kitti"):
-            split = name.split("-")[1] if "-" in name else "2015"
-            results.update(validate_kitti(fwd, split, f"{args.data_root}/KITTI", divide_factor=args.divide_factor))
-        elif name.startswith("booster"):
-            res = name.split("-")[1] if "-" in name else "Q"
-            results.update(validate_booster(fwd, res, f"{args.data_root}/Booster_dataset", divide_factor=args.divide_factor))
-        elif name == "things":
-            results.update(validate_things(fwd, f"{args.data_root}/sceneflow", divide_factor=args.divide_factor))
-        else:
-            raise ValueError(name)
+        results.update(run_validator(name, fwd, args.data_root, args.divide_factor))
     print(json.dumps(results, indent=2))
     return results
 

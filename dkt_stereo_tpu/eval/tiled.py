@@ -17,9 +17,16 @@ corr kernel itself).
 
 from __future__ import annotations
 
+import collections
+
 import numpy as np
 
-_EXACT_JIT_CACHE: dict = {}
+# Small LRU keyed on (model identity, mesh, band geometry): entries hold the
+# jitted band forward AND a strong reference to the model/params closure, so
+# the cache must be bounded — a long-lived process evaluating many configs or
+# frame sizes would otherwise pin every compiled trace forever.
+_EXACT_JIT_CACHE: collections.OrderedDict = collections.OrderedDict()
+_EXACT_JIT_CACHE_MAX = 8
 
 
 def banded_forward_exact(
@@ -114,6 +121,10 @@ def banded_forward_exact(
             return disp
 
         _EXACT_JIT_CACHE[key] = jax.jit(run)
+        while len(_EXACT_JIT_CACHE) > _EXACT_JIT_CACHE_MAX:
+            _EXACT_JIT_CACHE.popitem(last=False)
+    else:
+        _EXACT_JIT_CACHE.move_to_end(key)
 
     sh = jax.sharding.NamedSharding(mesh, P(axis))
     rep = jax.sharding.NamedSharding(mesh, P())

@@ -73,32 +73,56 @@ def _require_frames(ds, data_root):
         raise FileNotFoundError(f"no frames found under {data_root!r}")
 
 
+def resolve_eval_dataset(name, data_root):
+    """Single source of the eval-CLI dataset-name grammar (``eth3d``,
+    ``middlebury-H``, ``kitti-2012``, ``booster-Q``, ``things``), shared by
+    ``preflight`` and ``run_validator`` so the two cannot drift. Returns
+    ``(kind, variant, root)``."""
+    if name == "eth3d":
+        return "eth3d", None, f"{data_root}/ETH3D"
+    if name.startswith("middlebury"):
+        return "middlebury", name.split("-")[1] if "-" in name else "H", f"{data_root}/Middlebury"
+    if name.startswith("kitti"):
+        return "kitti", name.split("-")[1] if "-" in name else "2015", f"{data_root}/KITTI"
+    if name.startswith("booster"):
+        return "booster", name.split("-")[1] if "-" in name else "Q", f"{data_root}/Booster_dataset"
+    if name == "things":
+        return "things", None, f"{data_root}/sceneflow"
+    raise ValueError(name)
+
+
+def _dataset_for(kind, variant, root):
+    if kind == "eth3d":
+        return ETH3D(None, root=root)
+    if kind == "middlebury":
+        return Middlebury(None, root=root, resolution=variant)
+    if kind == "kitti":
+        return KITTI(None, root=root, split=variant)
+    if kind == "booster":
+        return Booster(None, root=root, resolution=variant)
+    return SceneFlowDatasets(None, root=root, dstype="frames_finalpass", things_test=True)
+
+
+def run_validator(name, forward, data_root, divide_factor=32):
+    """Dispatch one eval-CLI dataset name to its validator."""
+    kind, variant, root = resolve_eval_dataset(name, data_root)
+    if kind == "eth3d":
+        return validate_eth3d(forward, root, divide_factor)
+    if kind == "middlebury":
+        return validate_middlebury(forward, variant, root, divide_factor=divide_factor)
+    if kind == "kitti":
+        return validate_kitti(forward, variant, root, divide_factor=divide_factor)
+    if kind == "booster":
+        return validate_booster(forward, variant, root, divide_factor=divide_factor)
+    return validate_things(forward, root, divide_factor=divide_factor)
+
+
 def preflight(names, data_root):
     """Fail fast on empty/absent eval datasets BEFORE the minutes-long TPU
-    compile (dataset construction is a cheap filesystem glob). Accepts the
-    eval-CLI dataset names (``eth3d``, ``middlebury-H``, ``kitti-2012``,
-    ``booster-Q``, ``things``)."""
+    compile (dataset construction is a cheap filesystem glob)."""
     for name in names:
-        if name == "eth3d":
-            ds, root = ETH3D(None, root=f"{data_root}/ETH3D"), f"{data_root}/ETH3D"
-        elif name.startswith("middlebury"):
-            res = name.split("-")[1] if "-" in name else "H"
-            root = f"{data_root}/Middlebury"
-            ds = Middlebury(None, root=root, resolution=res)
-        elif name.startswith("kitti"):
-            split = name.split("-")[1] if "-" in name else "2015"
-            root = f"{data_root}/KITTI"
-            ds = KITTI(None, root=root, split=split)
-        elif name.startswith("booster"):
-            res = name.split("-")[1] if "-" in name else "Q"
-            root = f"{data_root}/Booster_dataset"
-            ds = Booster(None, root=root, resolution=res)
-        elif name == "things":
-            root = f"{data_root}/sceneflow"
-            ds = SceneFlowDatasets(None, root=root, dstype="frames_finalpass", things_test=True)
-        else:
-            raise ValueError(name)
-        _require_frames(ds, f"{root} ({name})")
+        kind, variant, root = resolve_eval_dataset(name, data_root)
+        _require_frames(_dataset_for(kind, variant, root), f"{root} ({name})")
 
 
 def validate_eth3d(forward, data_root="data/ETH3D", divide_factor=32):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dkt_stereo_tpu.nn.blocks import MultiBasicEncoder, conv
+from dkt_stereo_tpu.nn.blocks import MultiBasicEncoder, bn_eval_affine, conv
 from dkt_stereo_tpu.nn.conv3d import RawConv3DParams, thin_conv3d
 from dkt_stereo_tpu.nn.igev_blocks import (
     BasicConvIGEV,
@@ -71,7 +71,10 @@ class IGEVStereoConfig:
 
 
 class _RawKernel(nn.Module):
-    """A single conv/deconv kernel parameter (no bias), nn.Conv tree name."""
+    """A single conv/deconv kernel parameter (no bias), nn.Conv tree name.
+    Distinct from blocks._ConvParams: that one is square-conv (k,k,I,O) with
+    a bias; this takes an arbitrary shape so it can express the
+    ConvTransposeTorch (k,k,O,I) layout."""
 
     shape: Tuple[int, ...]
 
@@ -133,11 +136,9 @@ def _conv_transpose_torch(x, w, stride=2, padding=1, dt=jnp.float32):
 
 
 def _bn_eval(x, bn, dt):
-    """Eval-mode BatchNorm with flax's compute layout (eps 1e-5)."""
-    scale, bias, mean, var = bn
-    mul = (scale * jax.lax.rsqrt(var + 1e-5)).astype(dt)
-    add = (bias - mean * scale * jax.lax.rsqrt(var + 1e-5)).astype(dt)
-    return x.astype(dt) * mul + add
+    """Eval-mode BatchNorm as an affine (shared fold: blocks.bn_eval_affine)."""
+    a, b = bn_eval_affine(bn)
+    return x.astype(dt) * a.astype(dt) + b.astype(dt)
 
 
 class _IGEVIterStep(nn.Module):

@@ -181,9 +181,10 @@ class _ResPairParams(nn.Module):
         return [*a, *b]
 
 
-def _bn_fold(bn, conv_bias=None, eps=1e-5):
-    """Eval-mode BatchNorm (+ preceding conv bias) as x -> a*x + b, in w2d
-    duplicated form."""
+def bn_eval_affine(bn, conv_bias=None, eps=1e-5):
+    """Eval-mode BatchNorm (+ optionally the preceding conv's bias) folded to
+    the affine x -> a*x + b. The single source of this fold — used by the
+    fused w2d encoder (:func:`_bn_fold`) and IGEV's cond-gated spx chain."""
     import jax
 
     scale, bias, mean, var = bn
@@ -191,6 +192,12 @@ def _bn_fold(bn, conv_bias=None, eps=1e-5):
     b = bias - mean * a
     if conv_bias is not None:
         b = b + conv_bias * a
+    return a, b
+
+
+def _bn_fold(bn, conv_bias=None, eps=1e-5):
+    """:func:`bn_eval_affine` in w2d duplicated form."""
+    a, b = bn_eval_affine(bn, conv_bias, eps)
     return jnp.concatenate([a, a]), jnp.concatenate([b, b])
 
 

@@ -50,6 +50,36 @@ def thin_conv3x3(x, kernel, bias, dtype):
     return (out + bias.astype(jnp.float32)).astype(dtype)
 
 
+def cond_mask_head(net0, k1, b1, k2, b2, dtype, mask_pred):
+    """Convex-upsample mask head (conv3×3 → relu → conv1×1, ×0.25 gradient
+    balancing, core/update.py:110-113,137) from raw conv params, optionally
+    gated by ``mask_pred`` under ``lax.cond``: in test mode only the FINAL
+    iteration's mask is consumed (raft_stereo.py:168-177 discards the rest)
+    and the head is ~30% of the per-iteration cost at eval sizes. Raw params
+    keep the ``nn.Conv`` tree layout for checkpoint import. Shared by the
+    RAFT and PCVNet multi-update blocks."""
+
+    def _head(x):
+        m = jax.lax.conv_general_dilated(
+            x.astype(dtype), k1.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b1.astype(dtype)
+        m = jax.lax.conv_general_dilated(
+            nn.relu(m), k2.astype(dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b2.astype(dtype)
+        return 0.25 * m
+
+    if mask_pred is None:
+        return _head(net0)
+    return jax.lax.cond(
+        mask_pred,
+        _head,
+        lambda x: jnp.zeros(net0.shape[:3] + (k2.shape[-1],), dtype),
+        net0,
+    )
+
+
 class FlowHead(nn.Module):
     """core/update.py:6-14. The 2nd conv's tiny output channel count runs
     through :func:`thin_conv3x3` (same parameter tree as ``nn.Conv``)."""
@@ -222,36 +252,7 @@ class BasicMultiUpdateBlock(nn.Module):
 
         delta_flow = FlowHead(256, 2, self.dtype, name="flow_head")(net[0])
         factor = 2**self.n_downsample
-
-        # Mask head as raw params (nn.Conv tree layout) so the computation
-        # can sit under a lax.cond: in test mode only the FINAL iteration's
-        # mask is consumed (raft_stereo.py:168-177 discards the rest), and
-        # the head is ~30% of the per-iteration cost at eval sizes.
-        n0 = net[0].shape[-1]
-        k1, b1 = _ConvParams(256, n0, 3, name="mask_conv1")()
+        k1, b1 = _ConvParams(256, net[0].shape[-1], 3, name="mask_conv1")()
         k2, b2 = _ConvParams(factor**2 * 9, 256, 1, name="mask_conv2")()
-
-        def _mask_head(net0):
-            dt = self.dtype
-            m = jax.lax.conv_general_dilated(
-                net0.astype(dt), k1.astype(dt), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b1.astype(dt)
-            m = jax.lax.conv_general_dilated(
-                nn.relu(m), k2.astype(dt), (1, 1), [(0, 0), (0, 0)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b2.astype(dt)
-            return 0.25 * m  # gradient balancing, core/update.py:137
-
-        if mask_pred is None:
-            mask = _mask_head(net[0])
-        else:
-            mask = jax.lax.cond(
-                mask_pred,
-                _mask_head,
-                lambda net0: jnp.zeros(
-                    net[0].shape[:3] + (factor**2 * 9,), self.dtype
-                ),
-                net[0],
-            )
+        mask = cond_mask_head(net[0], k1, b1, k2, b2, self.dtype, mask_pred)
         return tuple(net), mask, delta_flow

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dkt_stereo_tpu.nn.blocks import kaiming_out
-from dkt_stereo_tpu.nn.norms import Norm
+from dkt_stereo_tpu.nn.norms import InstanceNorm, Norm
 from dkt_stereo_tpu.ops.resize import interp_nearest
 
 
@@ -95,12 +95,10 @@ class BasicConvIGEV(nn.Module):
         if self.norm == "batch":
             x = Norm("batch", None, self.use_running_average, self.dtype, name="bn")(x)
         elif self.norm == "instance":
-            # torch InstanceNorm2d/3d: normalize over all spatial dims
-            xf = x.astype(jnp.float32)
-            axes = tuple(range(1, 1 + self.dims))
-            mean = xf.mean(axis=axes, keepdims=True)
-            var = ((xf - mean) ** 2).mean(axis=axes, keepdims=True)
-            x = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+            # torch InstanceNorm2d/3d via the shared module so the banded
+            # eval's cross_band_stats context hooks these norms too
+            # (eval/tiled.py::banded_forward_exact)
+            x = InstanceNorm()(x)
         if self.relu:
             x = leaky_relu(x)
         return x

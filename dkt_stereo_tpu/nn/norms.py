@@ -69,7 +69,9 @@ def _banded_instance_stats(x, ctx, epsilon):
 
 
 class InstanceNorm(nn.Module):
-    """Per-sample, per-channel normalization over H, W (no affine).
+    """Per-sample, per-channel normalization over all spatial dims (no
+    affine) — torch InstanceNorm2d for (B,H,W,C), InstanceNorm3d for
+    (B,D,H,W,C).
 
     Statistics accumulate in fp32 but the elementwise math stays in the
     input dtype — avoids materializing fp32 copies of full-resolution
@@ -88,7 +90,18 @@ class InstanceNorm(nn.Module):
             # exact banded eval: global (cross-band) statistics, always
             # stride-1 (the subsampled fast path would sample a band-shifted
             # grid and break cross-band equality)
+            assert x.ndim == 4, (
+                "cross-band instance-norm statistics are defined for 2D "
+                f"feature maps (B,H,W,C); got rank {x.ndim}"
+            )
             return _banded_instance_stats(x, _BAND_STATS, self.epsilon)
+        if x.ndim == 5:
+            # 3D volumes (InstanceNorm3d): joint fp32 reduce; volumes are
+            # never full-resolution so the single-pass reduce is fine
+            m = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+            c = x - m.astype(x.dtype)
+            v = jnp.mean(c * c, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+            return c * jax.lax.rsqrt(v + self.epsilon).astype(x.dtype)
         s = self.stats_stride
 
         # Large tensors: reductions one axis at a time — XLA fuses the

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dkt_stereo_tpu.nn.blocks import _res_pair, conv
-from dkt_stereo_tpu.nn.gru import ConvGRU, FlowHead, _ConvParams
+from dkt_stereo_tpu.nn.gru import ConvGRU, FlowHead, _ConvParams, cond_mask_head
 from dkt_stereo_tpu.nn.norms import Norm
 from dkt_stereo_tpu.ops.sampler import sample_row_1d
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align, pool2x
@@ -257,33 +257,11 @@ class BasicMultiUpdateBlockPCV(nn.Module):
             net[0], mu, sigma, w
         )
         factor = 2**self.n_downsample
-        # Mask head as raw params (nn.Conv tree layout) so it can sit under a
-        # lax.cond: in test mode only the FINAL iteration's mask feeds the
-        # refinement upsample (model.py:156-162) — skip the head elsewhere.
-        n0 = net[0].shape[-1]
-        k1, b1 = _ConvParams(256, n0, 3, name="mask_conv1")()
+        # test mode: only the FINAL iteration's mask feeds the refinement
+        # upsample (model.py:156-162) — cond-skip the head elsewhere
+        k1, b1 = _ConvParams(256, net[0].shape[-1], 3, name="mask_conv1")()
         k2, b2 = _ConvParams(factor**2 * 9, 256, 1, name="mask_conv2")()
-
-        def _mask_head(net0):
-            m = jax.lax.conv_general_dilated(
-                net0.astype(dt), k1.astype(dt), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b1.astype(dt)
-            m = jax.lax.conv_general_dilated(
-                nn.relu(m), k2.astype(dt), (1, 1), [(0, 0), (0, 0)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b2.astype(dt)
-            return 0.25 * m
-
-        if mask_pred is None:
-            mask = _mask_head(net[0])
-        else:
-            mask = jax.lax.cond(
-                mask_pred,
-                _mask_head,
-                lambda net0: jnp.zeros(net[0].shape[:3] + (factor**2 * 9,), dt),
-                net[0],
-            )
+        mask = cond_mask_head(net[0], k1, b1, k2, b2, dt, mask_pred)
         return tuple(net), mask, mu, sigma, w
 
 

@@ -42,6 +42,19 @@ def test_sharded_jit_step_reduces_over_mesh():
     np.testing.assert_allclose(float(g["w"][0]), want_g, rtol=1e-6)
 
 
+def test_make_mesh_two_axis():
+    # multi-axis default: trailing axis gets the largest power-of-two ≤ √n
+    # (adjacent devices on 'spatial' → halo/stat collectives ride neighbor
+    # ICI); axis_sizes overrides, numpy-reshape style incl. -1 inference
+    assert make_mesh(8, axis_names=("data", "spatial")).devices.shape == (4, 2)
+    assert make_mesh(
+        8, axis_names=("data", "spatial"), axis_sizes=(2, 4)
+    ).devices.shape == (2, 4)
+    assert make_mesh(
+        8, axis_names=("data", "spatial"), axis_sizes=(-1, 2)
+    ).devices.shape == (4, 2)
+
+
 def test_cross_replica_batch_stats():
     from jax.experimental.shard_map import shard_map
 
@@ -143,6 +156,47 @@ def test_banded_eval_exact_real_model(rng):
     # (i.e. pure fp accumulation, zero truncation error)
     assert err.max() < 5e-3, f"max {err.max()} mean {err.mean()}"
     assert err.mean() < 5e-4, f"mean {err.mean()}"
+
+
+def test_cross_band_stats_hooks_igev_instance_norm(rng):
+    """BasicConvIGEV's instance norm must route through nn/norms.InstanceNorm
+    so banded_forward_exact's cross-band statistics reach IGEV's stem/spx
+    norms too (regression: an inline IN here silently violated the
+    exact-banded contract — each band normalized over its own window
+    including halo/pad rows)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from dkt_stereo_tpu.nn.igev_blocks import BasicConvIGEV
+    from dkt_stereo_tpu.nn.norms import cross_band_stats
+
+    mesh = make_mesh(2)
+    fh, W, C = 384, 64, 8
+    halo, band_h = 64, 192
+    th = band_h + 2 * halo
+    x = rng.standard_normal((1, fh, W, C)).astype(np.float32)
+    mod = BasicConvIGEV(16, False, 2, "instance", True, 3, 1, 1)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    full = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+    win0 = [int(np.clip(k * band_h - halo, 0, fh - th)) for k in range(2)]
+    bands = np.stack([x[0, w : w + th] for w in win0])
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data"),), out_specs=P("data"),
+             check_rep=False)
+    def run(xb):
+        return mod.apply(params, xb)
+
+    with cross_band_stats("data", th, halo, band_h, fh):
+        out = np.asarray(jax.jit(run)(jnp.asarray(bands)))
+
+    # interiors (conv receptive field ⊂ halo) must match the full pass to fp
+    for k in range(2):
+        off = k * band_h - win0[k]
+        got = out[k, off : off + band_h]
+        want = full[0, k * band_h : (k + 1) * band_h]
+        np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_cross_band_instance_norm_exact(rng):
