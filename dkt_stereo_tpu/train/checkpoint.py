@@ -379,6 +379,104 @@ def import_timm_mobilenetv2(path_or_state, template_vars: dict) -> dict:
     return out
 
 
+def export_reference_pth(variables, reference_template, path=None):
+    """Inverse of :func:`import_reference_pth`: write this framework's flax
+    variables back into a reference-format torch ``state_dict`` — so a model
+    fine-tuned here can be consumed by the reference's own tools
+    (tools/evaluate_stereo.py:366-371 strict ``load_state_dict``).
+
+    ``reference_template`` (a ``.pth`` path or state dict) supplies the
+    reference key set — normally the checkpoint that was originally imported.
+    Its tensors also pass through verbatim for the reference-only slots this
+    framework has no state for: ``num_batches_tracked`` counters and the
+    BN params the reference creates but never runs (igev/cgi
+    submodule.py:10-36 instantiate ``self.bn`` even with bn=False).
+
+    Every torch key is resolved through the same name rules as import (with
+    the same first-unused disambiguation, so aliased heads like IGEV's
+    outputs04/08/16 land back on their original tensors), and every flax
+    params/batch_stats leaf must be consumed — a two-sided strictness
+    mirroring the importer's. Returns the state dict; also ``torch.save``\\ s
+    it (DataParallel prefixes and any ``state_dict`` nesting preserved from
+    the template) when ``path`` is given."""
+    import torch
+
+    if isinstance(reference_template, (str, os.PathLike)):
+        tmpl = torch.load(reference_template, map_location="cpu", weights_only=True)
+    else:
+        tmpl = reference_template
+    wrapper = {k: v for k, v in tmpl.items() if k != "state_dict"} if "state_dict" in tmpl else None
+    if "state_dict" in tmpl:
+        tmpl = tmpl["state_dict"]
+
+    known_unused = re.compile(r"conv1_up\.bn\.")
+    known_optional = re.compile(r"^feature\.deconv32_16\.")
+
+    def to_torch_layout(val, leaf, tndim):
+        if leaf == "weight" and tndim == 4:  # HWIO → OIHW (convT: (k,k,O,I) → IO(HW))
+            return val.transpose(3, 2, 0, 1)
+        if leaf == "weight" and tndim == 5:  # DHWIO → OIDHW
+            return val.transpose(4, 3, 0, 1, 2)
+        if leaf == "weight" and tndim == 2:  # (I,O) → (O,I)
+            return val.T
+        return val
+
+    out = {}
+    used: set = set()
+    for key, tensor in tmpl.items():
+        bare = key.removeprefix("module.")
+        tarr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+        if bare.endswith("num_batches_tracked") or known_unused.search(bare):
+            out[key] = torch.as_tensor(tarr)
+            continue
+        resolved = []
+        for tokens in _map_candidates(bare):
+            *scope, leaf_name = tokens
+            p, _ = _resolve_leaf(variables, scope, leaf_name, tarr)
+            if p is not None:
+                resolved.append((p, tokens[-1]))
+        if not resolved:
+            if known_optional.search(bare):
+                out[key] = torch.as_tensor(tarr)
+                continue
+            raise ValueError(f"cannot resolve reference tensor {key!r} against the variables tree")
+        p, leaf_name = next(
+            ((p, l) for p, l in resolved if tuple(p) not in used), resolved[0]
+        )
+        used.add(tuple(p))
+        val = np.asarray(_get(variables, p))
+        val = to_torch_layout(val, leaf_name, tarr.ndim).astype(tarr.dtype)
+        assert val.shape == tarr.shape, (key, p, val.shape, tarr.shape)
+        out[key] = torch.as_tensor(np.ascontiguousarray(val))
+
+    unconsumed = []
+
+    def walk(d, prefix):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v, prefix + [k])
+            elif tuple(prefix + [k]) not in used:
+                unconsumed.append("/".join(prefix + [k]))
+
+    for coll in ("params", "batch_stats"):
+        if coll in variables:
+            walk(variables[coll], [coll])
+    if unconsumed:
+        raise ValueError(
+            f"flax leaves not covered by the reference template: {unconsumed[:10]}"
+            f" (+{max(0, len(unconsumed) - 10)})"
+        )
+
+    if wrapper is not None:
+        full = dict(wrapper)
+        full["state_dict"] = out
+    else:
+        full = out
+    if path is not None:
+        torch.save(full, path)
+    return full
+
+
 # ---------------------------------------------------------------------------
 # Orbax native checkpointing of DKTTrainState
 # ---------------------------------------------------------------------------
