@@ -192,6 +192,50 @@ def test_export_roundtrip_pcvnet(rng):
     _roundtrip(tmodel.state_dict(), template)
 
 
+def test_export_cli_orbax_roundtrip(tmp_path, rng):
+    """cli.export: Orbax checkpoint (bare variables AND full train-state
+    layout) → reference .pth equal to the original state dict."""
+    from tests.test_reference_parity import _build_torch_model
+
+    from dkt_stereo_tpu.cli.export import main
+    from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+    from dkt_stereo_tpu.train.checkpoint import import_reference_pth, save_checkpoint
+
+    tmodel = _build_torch_model()
+    state = tmodel.state_dict()
+    tpl_pth = tmp_path / "ref.pth"
+    torch.save(state, tpl_pth)
+
+    cfg = RAFTStereoConfig(mixed_precision=False)
+    model = RAFTStereo(cfg, iters=2, test_mode=False)
+    z = jnp.zeros((1, 64, 128, 3))
+    template = model.init(jax.random.PRNGKey(0), z, z)
+    variables = import_reference_pth(state, template)
+
+    def check(out_path):
+        out = torch.load(out_path, map_location="cpu", weights_only=True)
+        assert set(out) == set(state)
+        for k in state:
+            np.testing.assert_array_equal(
+                state[k].numpy(), out[k].numpy(), err_msg=k
+            )
+
+    # bare-variables checkpoint
+    ck = save_checkpoint(str(tmp_path / "bare"), variables, step=0)
+    main(["--restore_ckpt", ck, "--template", str(tpl_pth),
+          "--out", str(tmp_path / "bare.pth")])
+    check(tmp_path / "bare.pth")
+
+    # full train-state layout: --which selects the ema branch
+    bumped = jax.tree_util.tree_map(lambda x: np.asarray(x) + 1.0, variables)
+    full = {"step": 0, "params": bumped, "ema_params": variables,
+            "teacher_params": bumped, "opt_state": {}}
+    ck2 = save_checkpoint(str(tmp_path / "full"), full, step=1)
+    main(["--restore_ckpt", ck2, "--template", str(tpl_pth),
+          "--out", str(tmp_path / "ema.pth"), "--which", "ema"])
+    check(tmp_path / "ema.pth")
+
+
 def test_export_rejects_uncovered_leaves(rng):
     """A template whose key set doesn't span the variables tree must raise
     (two-sided strictness, mirroring the importer)."""
