@@ -26,6 +26,13 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", default="runs/debug")
     p.add_argument("--restore_ckpt", default=None)
     p.add_argument("--restore_ckpt_T", default=None)
+    p.add_argument(
+        "--auto_resume",
+        action="store_true",
+        help="resume from the newest step_N checkpoint in --save_dir when one "
+        "exists (preemption recovery: relaunch the identical command; the "
+        "orbax state — incl. optimizer/schedule — overrides --restore_ckpt)",
+    )
     p.add_argument("--pretrained_backbone", default=None,
                    help="raw timm mobilenetv2_100 checkpoint (.pth/.npz) for "
                         "the IGEV/CGI trunk (the reference's "
@@ -163,6 +170,14 @@ def train(args) -> str:
             jnp.asarray, import_timm_mobilenetv2(args.pretrained_backbone, state.params)
         )
         state = state.replace(params=variables, ema_params=variables, teacher_params=variables)
+
+    if args.auto_resume:
+        from dkt_stereo_tpu.train.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(args.save_dir)
+        if latest is not None:
+            logging.info("auto-resume from %s", latest)
+            args.restore_ckpt = latest
 
     if args.restore_ckpt:
         if args.restore_ckpt.endswith(".pth"):

@@ -498,3 +498,19 @@ def restore_checkpoint(path: str, target_state):
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target_state)
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """Newest completed ``step_N`` Orbax checkpoint under ``ckpt_dir`` (the
+    layout :func:`save_checkpoint` writes), or None. In-progress Orbax saves
+    live in ``*.orbax-checkpoint-tmp-*`` directories, which the strict
+    ``step_(\\d+)`` match excludes — only committed checkpoints qualify."""
+    import glob
+    import re as _re
+
+    best, best_step = None, -1
+    for p in glob.glob(os.path.join(ckpt_dir, "step_*")):
+        m = _re.fullmatch(r"step_(\d+)", os.path.basename(p))
+        if m and os.path.isdir(p) and int(m.group(1)) > best_step:
+            best_step, best = int(m.group(1)), p
+    return best

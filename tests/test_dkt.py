@@ -224,3 +224,16 @@ def test_dkt_train_step_cascade(rng):
     assert int(state1.step) == 1
     assert float(metrics["ok"]) == 1.0
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_latest_checkpoint(tmp_path):
+    """--auto_resume's step_N discovery: newest committed step wins;
+    in-progress orbax tmp dirs and stray files are ignored."""
+    from dkt_stereo_tpu.train.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+    for name in ("step_1", "step_10", "step_2",
+                 "step_11.orbax-checkpoint-tmp-123"):
+        (tmp_path / name).mkdir()
+    (tmp_path / "step_99").write_text("not a dir")  # file, not a checkpoint
+    assert latest_checkpoint(str(tmp_path)).endswith("step_10")
