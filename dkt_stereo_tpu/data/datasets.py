@@ -67,20 +67,37 @@ class StereoDataset:
         flow = np.stack([disp, np.zeros_like(disp)], axis=-1)
 
         if self.augmentor is not None:
+            aug = self.augmentor
             if rng is not None:
-                self.augmentor.rng = rng
+                # bind the caller's generator onto a shallow per-call copy:
+                # the dataset (and its augmentor) is SHARED across loader
+                # worker threads, so mutating self.augmentor.rng would let
+                # concurrent workers draw from each other's streams
+                aug = copy.copy(aug)
+                aug.rng = rng
             if self.sparse:
-                img1_clean, img2_clean, img1, img2, flow, valid = self.augmentor(
+                img1_clean, img2_clean, img1, img2, flow, valid = aug(
                     img1, img2, flow, valid
                 )
             else:
-                img1_clean, img2_clean, img1, img2, flow = self.augmentor(
+                img1_clean, img2_clean, img1, img2, flow = aug(
                     img1, img2, flow
                 )
 
         img1 = img1.astype(np.float32)
         img2 = img2.astype(np.float32)
         flow = flow.astype(np.float32)
+
+        if self.img_pad is not None:
+            # reference semantics (core/stereo_datasets.py:125-132): zero-pad
+            # the IMAGES symmetrically by (padH, padW); flow/valid untouched
+            padH, padW = self.img_pad
+            pad = ((padH, padH), (padW, padW), (0, 0))
+            img1 = np.pad(img1, pad)
+            img2 = np.pad(img2, pad)
+            if self.augmentor is not None:
+                img1_clean = np.pad(img1_clean.astype(np.float32), pad)
+                img2_clean = np.pad(img2_clean.astype(np.float32), pad)
 
         if self.sparse:
             valid = valid.astype(np.float32)
@@ -114,21 +131,45 @@ class StereoDataset:
         out.extra_info = v * out.extra_info
         return out
 
-    def __add__(self, other: "StereoDataset"):
+    def __add__(self, other):
+        # samples must keep their origin dataset's reader/sparse mode AND
+        # augmentor config; merging the path lists is only sound when both
+        # sides dispatch identically — otherwise per-index dispatch
+        if isinstance(other, ConcatStereoDataset):
+            return ConcatStereoDataset([self, other])
+        if (
+            (other.disparity_reader is not self.disparity_reader)
+            or (other.sparse != self.sparse)
+            or not _same_aug(self, other)
+        ):
+            return ConcatStereoDataset([self, other])
         out = copy.deepcopy(self)
         out.image_list = self.image_list + other.image_list
         out.disparity_list = self.disparity_list + other.disparity_list
         out.extra_info = self.extra_info + other.extra_info
-        # samples must use their origin dataset's reader/sparse mode; keep a
-        # per-index dispatch when they differ
-        if (other.disparity_reader is not self.disparity_reader) or (
-            other.sparse != self.sparse
-        ):
-            return ConcatStereoDataset([self, other])
         return out
 
     def __len__(self):
         return len(self.image_list)
+
+
+def _same_aug(a: "StereoDataset", b: "StereoDataset") -> bool:
+    """True when two datasets' augmentation behavior is interchangeable
+    (same augmentor class + spatial/photometric config, same img_pad) so
+    their sample lists can be merged into one dataset."""
+    if getattr(a, "img_pad", None) != getattr(b, "img_pad", None):
+        return False
+    x, y = a.augmentor, b.augmentor
+    if x is None or y is None:
+        return x is y
+    if type(x) is not type(y):
+        return False
+    keys = (
+        "crop_size", "min_scale", "max_scale", "do_flip", "yjitter",
+        "spatial_aug_prob", "stretch_prob", "asymmetric_color_aug_prob",
+        "eraser_aug_prob",
+    )
+    return all(getattr(x, k, None) == getattr(y, k, None) for k in keys)
 
 
 class ConcatStereoDataset:
@@ -151,6 +192,9 @@ class ConcatStereoDataset:
 
     def __add__(self, other):
         return ConcatStereoDataset(self.parts + [other])
+
+    def __mul__(self, v: int):
+        return ConcatStereoDataset([p * v for p in self.parts])
 
     def __len__(self):
         return sum(len(p) for p in self.parts)

@@ -76,7 +76,12 @@ class StereoLoader:
     def __len__(self):
         n = len(self.dataset) // self.batch_size
         if not self.drop_last and len(self.dataset) % self.batch_size:
-            n += 1
+            # multi-host: the ragged tail cannot shard into equal per-host
+            # slices (later hosts would get short or empty local batches and
+            # the cross-host collectives would see mismatched shapes) — the
+            # tail is dropped regardless of drop_last there
+            if self.num_hosts == 1:
+                n += 1
         return n
 
     def close(self):
@@ -150,6 +155,7 @@ class StereoLoader:
         results: dict[int, dict] = {}
         results_lock = threading.Lock()
         stop = threading.Event()
+        errors: list[BaseException] = []
         # Backpressure: a worker must hold one of `prefetch` permits from the
         # moment it starts augmenting a batch until the consumer takes it, so
         # produced-but-unconsumed batches never exceed `prefetch` (the bound
@@ -173,10 +179,18 @@ class StereoLoader:
                 except queue.Empty:
                     permits.release()
                     return
-                samples = [self.dataset.get_sample(int(i), rng) for i in local]
-                batch = {
-                    k: np.stack([s[k] for s in samples]) for k in samples[0]
-                }
+                try:
+                    samples = [self.dataset.get_sample(int(i), rng) for i in local]
+                    batch = {
+                        k: np.stack([s[k] for s in samples]) for k in samples[0]
+                    }
+                except BaseException as e:  # surface to the consumer: a dead
+                    # worker holding a permit would otherwise deadlock the
+                    # in-order consumer silently (e.g. one corrupt image file)
+                    permits.release()
+                    errors.append(e)
+                    stop.set()
+                    return
                 with results_lock:
                     results[b] = batch
 
@@ -193,6 +207,8 @@ class StereoLoader:
                 with results_lock:
                     batch = results.pop(next_b, None)
                 if batch is None:
+                    if errors:
+                        raise errors[0]
                     if not any(t.is_alive() for t in threads) and job_q.empty():
                         with results_lock:
                             batch = results.pop(next_b, None)

@@ -94,8 +94,12 @@ def readDispKITTI(path: str):
 
 
 def readDispSintelStereo(path: str):
-    """RGB-packed disparity + occlusion mask sibling (frame_utils.py:158-164)."""
-    a = np.array(Image.open(path))
+    """RGB-packed disparity + occlusion mask sibling (frame_utils.py:158-164).
+
+    The reference computes ``d_r * 4`` on the raw uint8 channel, wrapping
+    modulo 256 for true disparities ≥ 256 px (70*4 → 24); fixed here by
+    decoding in float (bug list in README)."""
+    a = np.array(Image.open(path)).astype(np.float32)
     d_r, d_g, d_b = np.split(a, axis=2, indices_or_sections=3)
     disp = (d_r * 4 + d_g / (2**6) + d_b / (2**14))[..., 0]
     mask = np.array(Image.open(path.replace("disparities", "occlusions")))

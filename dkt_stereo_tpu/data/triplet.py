@@ -210,9 +210,15 @@ class NerfStereo:
             rs = lambda a: cv2.resize(a, (w, h), interpolation=cv2.INTER_NEAREST)
             im0, im1, im2, disp, conf = rs(im0), rs(im1), rs(im2), rs(disp), rs(conf)
 
+        aug = self.augmentor
         if rng is not None:
-            self.augmentor.rng = rng
-        data = self.augmentor(im0, im1, im2, disp, conf)
+            # per-call shallow copy: the augmentor is shared across loader
+            # worker threads (see datasets.StereoDataset.get_sample)
+            import copy
+
+            aug = copy.copy(aug)
+            aug.rng = rng
+        data = aug(im0, im1, im2, disp, conf)
         return {
             "im1_forward": data["im1_aug"].astype(np.float32),
             "im2_forward": data["im2_aug"].astype(np.float32),

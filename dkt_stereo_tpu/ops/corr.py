@@ -170,9 +170,13 @@ def corr_lookup_alt(
             return vals * inb[..., None]
 
         sampled = tap(x0) * (1 - w)[..., None] + tap(x0 + 1) * w[..., None]
-        corr = jnp.einsum("bhwkd,bhwd->bhwk", sampled, f1) / jnp.sqrt(
-            jnp.asarray(D, jnp.float32)
-        )
+        # fp32 correlation policy (CLAUDE.md): inputs are cast to fp32 above,
+        # so force full-precision accumulation — TPU default would truncate
+        # the dot to bf16 mantissa
+        corr = jnp.einsum(
+            "bhwkd,bhwd->bhwk", sampled, f1,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / jnp.sqrt(jnp.asarray(D, jnp.float32))
         out.append(corr)
     return jnp.concatenate(out, axis=-1)
 

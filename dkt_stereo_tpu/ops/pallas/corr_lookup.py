@@ -144,6 +144,67 @@ def _lookup_fwd_chunked(pyramid, coords, radius, interpret):
     return jnp.concatenate(outs, axis=-1).reshape(B, H, W1, len(pyramid) * taps)
 
 
+def _bwd_kernel_level(coords_ref, g_ref, dvol_ref, *, radius, level):
+    """Per-level backward for large frames (W1 chunked on the grid)."""
+    R, W1c = coords_ref.shape
+    taps = 2 * radius + 1
+
+    for r in range(R):
+        g = g_ref[r].astype(jnp.float32)  # (W1c, taps)
+        W2 = dvol_ref.shape[-1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+        x = coords_ref[r].astype(jnp.float32) / (2**level)
+        acc = jnp.zeros((W1c, W2), jnp.float32)
+        for k in range(taps):
+            pos = x[:, None] + (k - radius)
+            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+            acc = acc + g[:, k : k + 1] * w
+        dvol_ref[r] = acc.astype(dvol_ref.dtype)
+
+
+def _lookup_bwd_chunked(pyramid_shapes, coords, g, radius, interpret):
+    """Large-frame backward mirroring :func:`_lookup_fwd_chunked`: one
+    pallas_call per level, W1 in 128-multiple chunks — without this, grads
+    at Middlebury-F-sized volumes would issue the all-levels single call and
+    blow the 16MB scoped-VMEM budget the forward already avoids."""
+    from dkt_stereo_tpu.ops.pallas.corr_alt import _pick_cols
+
+    num_levels = len(pyramid_shapes)
+    B, H, W1, _ = pyramid_shapes[0].shape
+    G = B * H
+    R = _pick_rows(G)
+    taps = 2 * radius + 1
+    coords2 = coords.reshape(G, W1)
+    g2 = g.reshape(G, W1, num_levels * taps)
+
+    dvols = []
+    for level, s in enumerate(pyramid_shapes):
+        W2 = s.shape[-1]
+        limit = max(128, _VMEM_ELEMS // (R * W2) // 128 * 128)
+        W1p, W1c = _pick_cols(W1, limit)
+        c2 = coords2
+        gl = g2[..., level * taps : (level + 1) * taps]
+        if W1p != W1:
+            c2 = jnp.pad(c2, ((0, 0), (0, W1p - W1)), constant_values=-1e9)
+            gl = jnp.pad(gl, ((0, 0), (0, W1p - W1), (0, 0)))
+        kernel = functools.partial(_bwd_kernel_level, radius=radius, level=level)
+        dvol = pl.pallas_call(
+            kernel,
+            grid=(G // R, W1p // W1c),
+            in_specs=[
+                pl.BlockSpec((R, W1c), lambda g_, c: (g_, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1c, taps), lambda g_, c: (g_, c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (R, W1c, W2), lambda g_, c: (g_, c, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((G, W1p, W2), s.dtype),
+            interpret=interpret,
+        )(c2, gl)
+        dvols.append(dvol[:, :W1].reshape(s.shape))
+    return tuple(dvols)
+
+
 def _lookup_fwd_impl(pyramid, coords, radius, interpret):
     num_levels = len(pyramid)
     B, H, W1, _ = pyramid[0].shape
@@ -181,6 +242,9 @@ def _lookup_bwd_impl(pyramid_shapes, coords, g, radius, interpret):
     G = B * H
     R = _pick_rows(G)
     taps = 2 * radius + 1
+
+    if R * W1 * sum(s.shape[-1] for s in pyramid_shapes) > _VMEM_ELEMS:
+        return _lookup_bwd_chunked(pyramid_shapes, coords, g, radius, interpret)
 
     coords2 = coords.reshape(G, W1)
     g2 = g.reshape(G, W1, num_levels * taps)

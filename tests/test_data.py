@@ -224,3 +224,131 @@ def test_loader_process_mode(tmp_path, rng):
     assert len(batches) == 2
     assert batches[0]["img1"].shape == (2, 64, 128, 3)
     loader._pool.shutdown()
+
+
+def test_sintel_disp_decoding_large_disparity(tmp_path):
+    # reference bug fixed: d_r*4 on raw uint8 wraps mod 256 (70*4 -> 24);
+    # decode must run in float so 280 px survives
+    os.makedirs(tmp_path / "disparities" / "seq", exist_ok=True)
+    os.makedirs(tmp_path / "occlusions" / "seq", exist_ok=True)
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[..., 0] = 70  # 280 px disparity
+    Image.fromarray(rgb).save(tmp_path / "disparities" / "seq" / "frame_0001.png")
+    Image.fromarray(np.zeros((4, 4), np.uint8)).save(
+        tmp_path / "occlusions" / "seq" / "frame_0001.png"
+    )
+    d, v = readers.readDispSintelStereo(str(tmp_path / "disparities" / "seq" / "frame_0001.png"))
+    np.testing.assert_allclose(d, 280.0)
+
+
+def test_loader_worker_error_propagates():
+    """A worker exception (e.g. a corrupt image) must raise in the consumer,
+    not deadlock the in-order loop with a permit held by a dead thread."""
+
+    class ExplodingDataset:
+        def __len__(self):
+            return 8
+
+        def get_sample(self, i, rng=None):
+            if i == 5:
+                raise OSError("corrupt image file")
+            return {"x": np.zeros((4, 4), np.float32)}
+
+    loader = StereoLoader(ExplodingDataset(), batch_size=2, shuffle=False,
+                          num_workers=2, seed=0, prefetch=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)
+
+
+def test_loader_multihost_ragged_tail_dropped(tmp_path, rng):
+    """With num_hosts>1 the final partial global batch cannot shard into
+    equal per-host slices — dropped even under drop_last=False (previously:
+    IndexError on the later host's empty slice)."""
+
+    class TinyDataset:
+        def __len__(self):
+            return 10
+
+        def get_sample(self, i, rng=None):
+            return {"x": np.full((2, 2), i, np.float32)}
+
+    for host in (0, 1):
+        loader = StereoLoader(TinyDataset(), batch_size=8, shuffle=False,
+                              num_workers=1, seed=0, drop_last=False,
+                              num_hosts=2, host_id=host)
+        batches = list(loader)
+        assert len(batches) == 1
+        assert batches[0]["x"].shape == (4, 2, 2)
+    # single host keeps the torch drop_last=False semantics (short tail)
+    loader = StereoLoader(TinyDataset(), batch_size=8, shuffle=False,
+                          num_workers=1, seed=0, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["x"].shape == (2, 2, 2)
+
+
+def test_get_sample_does_not_mutate_shared_augmentor(tmp_path, rng):
+    """Loader workers share the dataset object; binding the caller's rng must
+    happen on a per-call copy, never on the shared augmentor (thread race)."""
+    root = _make_kitti_tree(tmp_path, rng)
+    aug = {"crop_size": (64, 128), "min_scale": -0.2, "max_scale": 0.4,
+           "do_flip": False, "yjitter": False}
+    ds = KITTI(aug, root=root, split="2015")
+    shared_rng = ds.augmentor.rng
+    caller_rng = np.random.default_rng(42)
+    ds.get_sample(0, caller_rng)
+    assert ds.augmentor.rng is shared_rng  # untouched
+
+    # determinism: two loaders with the same seed produce identical epochs
+    a = list(StereoLoader(ds, batch_size=2, num_workers=4, seed=3))
+    b = list(StereoLoader(ds, batch_size=2, num_workers=4, seed=3))
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_dataset_add_concat_and_mixed_aug(tmp_path, rng):
+    root = _make_kitti_tree(tmp_path, rng)
+    aug_a = {"crop_size": (64, 128), "min_scale": -0.2, "max_scale": 0.4,
+             "do_flip": False, "yjitter": False}
+    aug_b = {"crop_size": (32, 64), "min_scale": -0.2, "max_scale": 0.4,
+             "do_flip": False, "yjitter": False}
+    ds_a = KITTI(aug_a, root=root, split="2015")
+    ds_b = KITTI(aug_b, root=root, split="2015")
+
+    # differing augmentor configs must NOT merge (other's crop would be lost)
+    mixed = ds_a + ds_b
+    from dkt_stereo_tpu.data.datasets import ConcatStereoDataset
+
+    assert isinstance(mixed, ConcatStereoDataset)
+    assert len(mixed) == 8
+    r = np.random.default_rng(0)
+    assert mixed.get_sample(1, r)["img1"].shape == (64, 128, 3)
+    assert mixed.get_sample(5, r)["img1"].shape == (32, 64, 3)
+
+    # StereoDataset + ConcatStereoDataset composes (previously AttributeError)
+    triple = ds_a + mixed
+    assert len(triple) == 12
+    assert isinstance(triple, ConcatStereoDataset)
+    # replication distributes over the parts
+    assert len(mixed * 2) == 16
+
+    # identical configs still merge into one flat dataset
+    same = ds_a + KITTI(dict(aug_a), root=root, split="2015")
+    assert not isinstance(same, ConcatStereoDataset)
+    assert len(same) == 8
+
+
+def test_img_pad_applied(tmp_path, rng):
+    """img_pad pads the images (zero, symmetric) but not flow/valid —
+    reference core/stereo_datasets.py:125-132 (previously a silent no-op)."""
+    root = _make_kitti_tree(tmp_path, rng)
+    aug = {"crop_size": (64, 128), "min_scale": -0.2, "max_scale": 0.4,
+           "do_flip": False, "yjitter": False, "img_pad": (4, 8)}
+    ds = KITTI(aug, root=root, split="2015")
+    s = ds.get_sample(0, np.random.default_rng(0))
+    assert s["img1"].shape == (72, 144, 3)
+    assert s["img2"].shape == (72, 144, 3)
+    assert s["img1_clean"].shape == (72, 144, 3)
+    assert s["flow"].shape == (64, 128)
+    assert s["valid"].shape == (64, 128)

@@ -183,3 +183,28 @@ def test_pallas_lookup_chunked_large_width(rng):
     want = np.asarray(corr_lookup(list(pyr), coords, 4))
     got = np.asarray(corr_lookup_pallas(pyr, coords, 4, True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_lookup_chunked_backward(rng):
+    # grads at chunked-forward geometry must route through the chunked
+    # backward too (regression: the all-levels single bwd call would blow
+    # the VMEM budget exactly where the forward already chunks) and match
+    # the XLA gradient
+    import jax
+
+    from dkt_stereo_tpu.ops.pallas import corr_lookup as m
+
+    pyr, coords = _setup(rng, B=1, H=8, W=576, D=8)
+    G, W1 = 8, 576
+    assert m._pick_rows(G) * W1 * sum(v.shape[-1] for v in pyr) > m._VMEM_ELEMS
+
+    def loss_pallas(p):
+        return (corr_lookup_pallas(p, coords, 4, True) ** 2).sum()
+
+    def loss_xla(p):
+        return (corr_lookup(list(p), coords, 4) ** 2).sum()
+
+    g_pallas = jax.grad(loss_pallas)(pyr)
+    g_xla = jax.grad(loss_xla)(pyr)
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2, rtol=1e-4)
