@@ -34,6 +34,7 @@ from dkt_stereo_tpu.nn.igev_blocks import (
     kaiming_out,
 )
 from dkt_stereo_tpu.nn.igev_update import BasicMultiUpdateBlockIGEV
+from dkt_stereo_tpu.nn.norms import InstanceNorm
 from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume, geo_lookup
 from dkt_stereo_tpu.ops.upsample import context_upsample
 from dkt_stereo_tpu.ops.volumes import build_gwc_volume, disparity_regression
@@ -237,11 +238,12 @@ class IGEVStereo(nn.Module):
         feats_l = feature(x1)
         feats_r = feature(x2)
 
+        # shared InstanceNorm module (param-free), NOT inline math: the
+        # banded eval's cross_band_stats context must hook these norms too
+        _in = InstanceNorm()
+
         def _inorm_relu(y):
-            yf = y.astype(jnp.float32)
-            m = yf.mean(axis=(1, 2), keepdims=True)
-            v = ((yf - m) ** 2).mean(axis=(1, 2), keepdims=True)
-            return nn.relu(((yf - m) * jax.lax.rsqrt(v + 1e-5)).astype(dt))
+            return nn.relu(_in(y))
 
         # shared module instances applied to both views (weight sharing)
         stem2_a = BasicConvIGEV(32, False, 2, "instance", True, 3, 2, 1, ura, dt, name="stem_2_0")
@@ -289,10 +291,7 @@ class IGEVStereo(nn.Module):
         if not self.test_mode:
             xspx = BasicConvIGEV(24, False, 2, "instance", True, 3, 1, 1, ura, dt, name="spx_4_0")(feats_l[0])
             xspx = conv(24, 3, 1, 1, dt, name="spx_4_1", use_bias=False)(xspx)
-            xf = xspx.astype(jnp.float32)
-            m = xf.mean(axis=(1, 2), keepdims=True)
-            v = ((xf - m) ** 2).mean(axis=(1, 2), keepdims=True)
-            xspx = nn.relu(((xf - m) * jax.lax.rsqrt(v + 1e-5)).astype(dt))
+            xspx = _inorm_relu(xspx)
             xspx = Conv2xIGEV(32, True, 2, True, True, "instance", True, ura, dt, name="spx_2")(xspx, stem_2x)
             spx_pred = ConvTransposeTorch(9, 2, 4, 2, 1, 0, True, dt, name="spx_0")(xspx)
             spx_pred = jax.nn.softmax(spx_pred.astype(jnp.float32), axis=-1)

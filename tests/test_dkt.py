@@ -237,3 +237,76 @@ def test_latest_checkpoint(tmp_path):
         (tmp_path / name).mkdir()
     (tmp_path / "step_99").write_text("not a dir")  # file, not a checkpoint
     assert latest_checkpoint(str(tmp_path)).endswith("step_10")
+
+
+def test_cascade_upsample2x_contracts():
+    """×2 nearest upsample of every model-output contract: disparity-valued
+    fields double in value, PCV mixture weights don't."""
+    from dkt_stereo_tpu.train.dkt_step import _cascade_upsample2x
+
+    rng = np.random.default_rng(0)
+    out = {
+        "disp_preds": jnp.asarray(rng.uniform(1, 5, (2, 1, 4, 6)).astype(np.float32)),
+        "init_disp": jnp.asarray(rng.uniform(1, 5, (1, 4, 6)).astype(np.float32)),
+        "output_list": (
+            jnp.asarray(rng.uniform(1, 5, (1, 4, 6)).astype(np.float32)),
+            jnp.asarray(rng.uniform(1, 5, (2, 1, 4, 6)).astype(np.float32)),
+            jnp.asarray(rng.uniform(1, 5, (2, 1, 4, 6, 4)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 1, (2, 1, 4, 6, 4)).astype(np.float32)),
+            jnp.asarray(rng.uniform(1, 4, (2, 1, 4, 6, 4)).astype(np.float32)),
+        ),
+    }
+    up = _cascade_upsample2x(out)
+    assert up["disp_preds"].shape == (2, 1, 8, 12)
+    np.testing.assert_allclose(up["disp_preds"][:, :, ::2, ::2], 2 * out["disp_preds"])
+    assert up["init_disp"].shape == (1, 8, 12)
+    np.testing.assert_allclose(up["init_disp"][:, ::2, ::2], 2 * out["init_disp"])
+    refined, disp_seq, mu, w, sigma = up["output_list"]
+    assert refined.shape == (1, 8, 12) and mu.shape == (2, 1, 8, 12, 4)
+    np.testing.assert_allclose(refined[:, ::2, ::2], 2 * out["output_list"][0])
+    np.testing.assert_allclose(mu[:, :, ::2, ::2], 2 * out["output_list"][2])
+    np.testing.assert_allclose(w[:, :, ::2, ::2], out["output_list"][3])  # unscaled
+    np.testing.assert_allclose(sigma[:, :, ::2, ::2], 2 * out["output_list"][4])
+
+
+def test_dkt_skipped_step_keeps_schedule_position(rng):
+    """ok=False steps revert opt_state (reference: scheduler.step() not
+    called on skip); the logged learning_rate must track the APPLIED
+    schedule position — state.step still increments and would drift."""
+    from dkt_stereo_tpu.train.state import applied_step_count, onecycle_linear
+
+    cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance")
+    hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100)
+    B, H, W = 1, 32, 64
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W))
+    r = np.random.default_rng(0)
+
+    def mkbatch(nan_img=False):
+        img1 = r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)
+        if nan_img:
+            img1[0, 0, 0, 0] = np.nan
+        return {
+            "img1": jnp.asarray(img1),
+            "img2": jnp.asarray(r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+            "img1_clean": jnp.asarray(r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+            "img2_clean": jnp.asarray(r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+            "flow": jnp.asarray(-r.uniform(0, 20, (B, H, W)).astype(np.float32)),
+            "valid": jnp.ones((B, H, W), jnp.float32),
+        }
+
+    step_fn = make_dkt_train_step(cfg, hyper)
+    schedule = onecycle_linear(hyper.lr, hyper.num_steps + 100)
+
+    state1, m1 = step_fn(state, mkbatch(nan_img=True), jax.random.PRNGKey(1))
+    assert float(m1["ok"]) == 0.0
+    assert int(state1.step) == 1  # step counts attempts
+    assert int(applied_step_count(state1.opt_state)) == 0  # no applied update
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+    state2, m2 = step_fn(state1, mkbatch(), jax.random.PRNGKey(2))
+    assert float(m2["ok"]) == 1.0
+    # the good step ran at schedule position 0, not schedule(state.step)=1
+    np.testing.assert_allclose(float(m2["learning_rate"]), float(schedule(0)))
+    assert int(applied_step_count(state2.opt_state)) == 1

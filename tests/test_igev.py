@@ -115,3 +115,46 @@ def test_igev_grads_flow_but_not_into_frozen_trunk(images):
     assert trunk == 0.0  # frozen backbone (torch.no_grad parity)
     assert update > 0 and cnet > 0
     assert all(np.isfinite(float(jnp.abs(g).sum())) for g in jax.tree_util.tree_leaves(gp))
+
+
+def test_igev_loss_trains_init_branch(images):
+    """The IGEV loss's init_disp term is the ONLY gradient path into the 3D
+    classifier / cost-aggregation / init-spx branch (every scan iteration
+    stop-grads the incoming disparity); the plain RAFT sequence loss leaves
+    those params at exactly zero gradient — the regression this pins."""
+    from dkt_stereo_tpu.losses.sequence import sequence_loss_igev, sequence_loss_raft
+    from dkt_stereo_tpu.models.registry import make_loss_adapter
+
+    img1, img2 = images
+    model = IGEVStereo(CFG, iters=1, test_mode=False)
+    params = model.init(jax.random.PRNGKey(0), img1, img2)
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(-rng.uniform(1, 20, (B, H, W)).astype(np.float32))
+    valid = jnp.ones((B, H, W), jnp.float32)
+    adapter = make_loss_adapter("IGEVStereo", CFG)
+
+    def total(tree):
+        return sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(tree))
+
+    def f_igev(p):
+        out = model.apply(p, img1, img2)
+        return adapter(out, gt, valid)[0]
+
+    def f_raft(p):
+        out = model.apply(p, img1, img2)
+        return sequence_loss_raft(out["disp_preds"], gt, valid)[0]
+
+    g = jax.grad(f_igev)(params)["params"]
+    assert total(g["classifier"]) > 0
+    assert total(g["spx_4_0"]) > 0
+    assert total(g["cost_agg"]) > 0
+
+    g0 = jax.grad(f_raft)(params)["params"]
+    assert total(g0["classifier"]) == 0.0
+    assert total(g0["spx_4_0"]) == 0.0
+
+    # direct loss sanity: ok flips on non-finite init
+    loss, metrics, m, ok = sequence_loss_igev(
+        -jnp.ones((2, B, H, W)), jnp.full((B, H, W), jnp.nan), gt, valid
+    )
+    assert not bool(ok) and float(loss) == 0.0

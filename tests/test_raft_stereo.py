@@ -163,3 +163,30 @@ def test_scan_unroll_identical(rng):
     o1 = t1.apply(params, img1, img2)["disp_preds"]
     o2 = t2.apply(params, img1, img2)["disp_preds"]
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_mix_corr_consumes_rng(rng):
+    """mix_fmap_image blends image/feature volumes with a per-forward random
+    weight (raft_stereo/corr.py:225-228); the 'mix' rng must actually change
+    the output (regression: with no rng supplied the blend silently froze at
+    0.5 — the DKT step now threads one per forward)."""
+    import jax
+
+    from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+
+    cfg = RAFTStereoConfig(
+        mixed_precision=False, context_norm="instance",
+        corr_implementation="mix_fmap_image",
+    )
+    model = RAFTStereo(cfg, iters=2, test_mode=False)
+    r = np.random.default_rng(0)
+    img1 = jnp.asarray(r.uniform(0, 255, (1, 32, 64, 3)).astype(np.float32))
+    img2 = jnp.asarray(r.uniform(0, 255, (1, 32, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img1, img2)
+
+    o1 = model.apply(params, img1, img2, rngs={"mix": jax.random.PRNGKey(1)})
+    o2 = model.apply(params, img1, img2, rngs={"mix": jax.random.PRNGKey(2)})
+    o3 = model.apply(params, img1, img2, rngs={"mix": jax.random.PRNGKey(1)})
+    a1, a2, a3 = (np.asarray(o["disp_preds"]) for o in (o1, o2, o3))
+    assert not np.allclose(a1, a2)  # different keys -> different blend
+    np.testing.assert_array_equal(a1, a3)  # same key -> deterministic

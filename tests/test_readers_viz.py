@@ -226,10 +226,12 @@ def test_logger_running_means_and_jsonl(tmp_path, monkeypatch):
     lg.close()
     rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     by_tag = {r["tag"]: r for r in rows}
-    # the reference's own emission quirk (ft_dkt.py:91-102): flush fires at
-    # push #SUM_FREQ-1 with 99 accumulated values yet divides by SUM_FREQ
-    np.testing.assert_allclose(by_tag["loss"]["value"], np.arange(99.0).sum() / 100.0)
-    np.testing.assert_allclose(by_tag["epe"]["value"], 2.0 * 99 / 100)
+    # flush cadence matches the reference (fires at push #SUM_FREQ-1 with 99
+    # accumulated values) but divides by the ACTUAL window length — the
+    # reference divides by SUM_FREQ, biasing its first window 1% low
+    # (ft_dkt.py:74-84, bug fixed + README'd)
+    np.testing.assert_allclose(by_tag["loss"]["value"], np.arange(99.0).mean())
+    np.testing.assert_allclose(by_tag["epe"]["value"], 2.0)
     np.testing.assert_allclose(by_tag["kitti-epe"]["value"], 1.5)
 
 

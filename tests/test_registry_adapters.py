@@ -13,7 +13,10 @@ def test_adapters_for_all_models(rng):
 
     cases = {
         "RAFTStereo": {"disp_preds": jnp.asarray(-rng.uniform(0, 20, (2, 1, 8, 8)).astype(np.float32))},
-        "IGEVStereo": {"disp_preds": jnp.asarray(-rng.uniform(0, 20, (2, 1, 8, 8)).astype(np.float32))},
+        "IGEVStereo": {
+            "disp_preds": jnp.asarray(-rng.uniform(0, 20, (2, 1, 8, 8)).astype(np.float32)),
+            "init_disp": jnp.asarray(-rng.uniform(0, 20, (1, 8, 8)).astype(np.float32)),
+        },
         "GWCNet": {"disp_preds": jnp.asarray(-rng.uniform(0, 20, (4, 1, 8, 8)).astype(np.float32))},
         "CGI_Stereo": {"disp_preds": [
             jnp.asarray(-rng.uniform(0, 20, (1, 2, 2)).astype(np.float32)),
