@@ -15,11 +15,15 @@ def load_model_config(path: str) -> dict:
         return json.load(f)
 
 
-def merge_config(args: argparse.Namespace, config: dict) -> argparse.Namespace:
-    clash = set(vars(args)) & set(config)
+def merge_config(args: argparse.Namespace, config: dict, allow: tuple = ()) -> argparse.Namespace:
+    """``allow`` names keys a CLI deliberately overrides (e.g. the eval CLI
+    hard-overrides a config's ``mixed_precision`` to reproduce the
+    reference's AMP-off eval protocol) — excluded from the clash check."""
+    clash = (set(vars(args)) & set(config)) - set(allow)
     if clash:
         raise ValueError(
             f"config keys clash with CLI flags (the reference raises TypeError "
             f"here too): {sorted(clash)}"
         )
-    return argparse.Namespace(**vars(args), **config)
+    merged = {**vars(args), **{k: v for k, v in config.items() if k not in vars(args)}}
+    return argparse.Namespace(**merged)

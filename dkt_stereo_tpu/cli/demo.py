@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("-r", "--right_imgs", required=True)
     p.add_argument("-o", "--output_directory", default="demo_output")
     p.add_argument("--valid_iters", type=int, default=32)
+    p.add_argument("--divide_factor", type=int, default=32,
+                   help="pad inputs to multiples of this (64 for n_downsample=3 configs)")
+    p.add_argument("--which", choices=["student", "ema", "teacher"], default="student",
+                   help="weight set to use from a full DKT train-state checkpoint")
     p.add_argument("--save_numpy", action="store_true")
     return p.parse_args(argv)
 
@@ -38,19 +42,20 @@ def main(argv=None):
     from dkt_stereo_tpu.data.readers import read_image_rgb
     from dkt_stereo_tpu.eval.validate import make_forward_fn, _run_one
     from dkt_stereo_tpu.models import get_model
-    from dkt_stereo_tpu.train.checkpoint import import_reference_pth, restore_checkpoint
+    from dkt_stereo_tpu.train.checkpoint import restore_variables
     from dkt_stereo_tpu.utils.visualization import disp_to_color
 
     config = load_model_config(args.config)
     model_cls, cfg_cls, _ = get_model(config["model"])
     cfg = cfg_cls.from_dict(config)
-    model = model_cls(cfg, iters=args.valid_iters, test_mode=True)
+    # train-mode template: reference .pth files carry train-only params
+    # (e.g. GWCNet's extra classifier heads) — import into the superset
+    model = model_cls(cfg, iters=args.valid_iters, test_mode=False)
     dummy = jnp.zeros((1, 64, 64, 3))
     template = model.init(jax.random.PRNGKey(0), dummy, dummy)
-    if args.restore_ckpt.endswith(".pth"):
-        params = jax.tree_util.tree_map(jnp.asarray, import_reference_pth(args.restore_ckpt, template))
-    else:
-        params = restore_checkpoint(args.restore_ckpt, template)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, restore_variables(args.restore_ckpt, template, args.which)
+    )
     fwd = make_forward_fn(model_cls, cfg, params, iters=args.valid_iters)
 
     out_dir = Path(args.output_directory)
@@ -60,7 +65,7 @@ def main(argv=None):
     for lp, rp in zip(lefts, rights):
         img1 = read_image_rgb(lp).astype(np.float32)
         img2 = read_image_rgb(rp).astype(np.float32)
-        disp, _ = _run_one(fwd, img1, img2, 32)
+        disp, _ = _run_one(fwd, img1, img2, args.divide_factor)
         disp = -disp  # negative-flow convention → positive disparity
         stem = Path(lp).stem
         if args.save_numpy:

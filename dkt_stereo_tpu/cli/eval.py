@@ -34,6 +34,13 @@ def parse_args(argv=None):
     )
     p.add_argument("--band_halo", type=int, default=96)
     p.add_argument(
+        "--which",
+        choices=["student", "ema", "teacher"],
+        default="student",
+        help="which weights to evaluate from a full DKT train-state "
+        "checkpoint (ignored for .pth / bare-variables checkpoints)",
+    )
+    p.add_argument(
         "--mixed_precision",
         action="store_true",
         help="bf16 compute; default OFF to match the reference eval protocol "
@@ -55,8 +62,9 @@ def main(argv=None):
         preflight,
         run_validator,
     )
+    from dkt_stereo_tpu.cli.config import merge_config
     from dkt_stereo_tpu.models import get_model
-    from dkt_stereo_tpu.train.checkpoint import import_reference_pth, restore_checkpoint
+    from dkt_stereo_tpu.train.checkpoint import restore_variables
 
     import os
 
@@ -71,6 +79,9 @@ def main(argv=None):
     import dataclasses
 
     config = load_model_config(args.config)
+    # strict-disjoint check (ft_dkt.py:347-350); the eval CLI deliberately
+    # overrides a config's mixed_precision (the AMP-off eval protocol)
+    merge_config(args, config, allow=("mixed_precision",))
     model_cls, cfg_cls, _ = get_model(config["model"])
     # Reference parity: the eval harness hard-disables AMP regardless of the
     # model config (tools/evaluate_stereo.py:376-380 sets
@@ -87,12 +98,9 @@ def main(argv=None):
     model = model_cls(cfg, iters=args.valid_iters, test_mode=False)
     dummy = jnp.zeros((1, 64, 64, 3))
     template = model.init(jax.random.PRNGKey(0), dummy, dummy)
-    if args.restore_ckpt.endswith(".pth"):
-        params = jax.tree_util.tree_map(
-            jnp.asarray, import_reference_pth(args.restore_ckpt, template)
-        )
-    else:
-        params = restore_checkpoint(args.restore_ckpt, template)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, restore_variables(args.restore_ckpt, template, args.which)
+    )
 
     if args.spatial_bands > 1:
         import numpy as np

@@ -14,7 +14,6 @@ defines the output (normally the checkpoint the fine-tune started from).
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def parse_args(argv=None):
@@ -35,16 +34,14 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    import orbax.checkpoint as ocp
+    from dkt_stereo_tpu.train.checkpoint import export_reference_pth, restore_variables
 
-    from dkt_stereo_tpu.train.checkpoint import export_reference_pth
-
-    tree = ocp.StandardCheckpointer().restore(os.path.abspath(args.restore_ckpt))
-    if "ema_params" in tree:  # full DKTTrainState
-        field = {"student": "params", "ema": "ema_params", "teacher": "teacher_params"}[args.which]
-        variables = tree[field]
-    else:  # bare flax variables
-        variables = tree
+    if args.restore_ckpt.endswith(".pth"):
+        raise SystemExit(
+            "--restore_ckpt must be an Orbax checkpoint (a .pth is already "
+            "in the reference format)"
+        )
+    variables = restore_variables(args.restore_ckpt, {}, args.which)
     state = export_reference_pth(variables, args.template, path=args.out)
     inner = state.get("state_dict", state)
     print(f"wrote {args.out}: {len(inner)} tensors ({args.which})")

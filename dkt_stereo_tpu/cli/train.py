@@ -27,6 +27,14 @@ def parse_args(argv=None):
     p.add_argument("--restore_ckpt", default=None)
     p.add_argument("--restore_ckpt_T", default=None)
     p.add_argument(
+        "--restore_weights_only",
+        action="store_true",
+        help="take params/EMA/teacher from an Orbax --restore_ckpt but start "
+        "a FRESH run (step 0, fresh optimizer + schedule) — the two-stage "
+        "recipes' stage-2 semantics (the reference restores state_dict only, "
+        "tools/ft_dkt.py:133-151)",
+    )
+    p.add_argument(
         "--auto_resume",
         action="store_true",
         help="resume from the newest step_N checkpoint in --save_dir when one "
@@ -95,7 +103,7 @@ def train(args) -> str:
     import jax
     import jax.numpy as jnp
 
-    from dkt_stereo_tpu.cli.config import load_model_config
+    from dkt_stereo_tpu.cli.config import load_model_config, merge_config
     from dkt_stereo_tpu.data.datasets import fetch_dataset
     from dkt_stereo_tpu.data.loader import StereoLoader
     from dkt_stereo_tpu.eval.validate import (
@@ -117,6 +125,7 @@ def train(args) -> str:
     from dkt_stereo_tpu.utils.logging import Logger
 
     config = load_model_config(args.config)
+    merge_config(args, config)  # strict-disjoint check (ft_dkt.py:347-350)
     if getattr(args, "remat", False):
         config["remat_iters"] = True
     model_cls, cfg_cls, _loss = get_model(config["model"])
@@ -140,6 +149,12 @@ def train(args) -> str:
     num_hosts = jax.process_count()
     host_id = jax.process_index()
     mesh = make_mesh()
+    if args.batch_size % mesh.devices.size:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by the "
+            f"{mesh.devices.size}-device data mesh (global batch is sharded "
+            "over all devices)"
+        )
 
     dataset = fetch_dataset(
         args.train_datasets,
@@ -190,7 +205,28 @@ def train(args) -> str:
                 )
             state = state.replace(params=variables, ema_params=variables, teacher_params=teacher)
         else:
-            state = restore_checkpoint(args.restore_ckpt, state)
+            restored = restore_checkpoint(args.restore_ckpt, state)
+            if args.restore_weights_only:
+                # fresh run from stage-1 weights: step 0, fresh optimizer and
+                # schedule (a full restore would carry step=N and make a
+                # --num_steps N stage-2 exit after ~0 steps)
+                state = state.replace(
+                    params=restored.params,
+                    ema_params=restored.ema_params,
+                    teacher_params=restored.teacher_params,
+                )
+            else:
+                state = restored
+            if args.restore_ckpt_T:
+                # pin the frozen teacher independently (ft_dkt.py:144-151) —
+                # honored for Orbax restores too, not just the .pth branch
+                from dkt_stereo_tpu.train.checkpoint import restore_variables
+
+                teacher = jax.tree_util.tree_map(
+                    jnp.asarray,
+                    restore_variables(args.restore_ckpt_T, state.params),
+                )
+                state = state.replace(teacher_params=teacher)
 
     state = replicate(state, mesh)
     step_fn = make_dkt_train_step(cfg, hyper, model_cls=model_cls, loss_adapter=loss_adapter)
@@ -199,7 +235,11 @@ def train(args) -> str:
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     cur = {"step": int(state.step)}
-    lg = Logger(str(save_dir), get_lr=lambda: float(schedule(cur["step"])))
+    lg = Logger(
+        str(save_dir),
+        get_lr=lambda: float(schedule(cur["step"])),
+        start_step=int(state.step),  # resumes log at the true global step
+    )
 
     key = jax.random.PRNGKey(args.seed + host_id)
     total_steps = int(state.step)
@@ -253,23 +293,33 @@ def train(args) -> str:
                     total_steps,
                 )
 
-            if total_steps % args.validation_frequency == args.validation_frequency - 1 and host_id == 0:
+            if total_steps % args.validation_frequency == args.validation_frequency - 1:
+                # the Orbax save is a cross-process sync point — EVERY host
+                # must call it (a host_id gate here would deadlock host 0's
+                # save barrier against host 1's next train-step collectives)
                 path = save_checkpoint(str(save_dir), state, total_steps + 1)
-                logging.info("saved %s", path)
-                fwd = make_forward_fn(model_cls, cfg, state.params, iters=args.valid_iters)
-                results = {}
-                for fn, kw in (
-                    (validate_eth3d, dict(data_root=f"{args.data_root}/ETH3D")),
-                    (validate_middlebury, dict(resolution="H", data_root=f"{args.data_root}/Middlebury")),
-                    (validate_kitti, dict(split="2012", data_root=f"{args.data_root}/KITTI")),
-                    (validate_kitti, dict(split="2015", data_root=f"{args.data_root}/KITTI")),
-                    (validate_booster, dict(resolution="Q", data_root=f"{args.data_root}/Booster_dataset")),
-                ):
-                    try:
-                        results.update(fn(fwd, **kw))
-                    except Exception as e:  # dataset absent on this machine
-                        logging.warning("validation %s skipped: %s", fn.__name__, e)
-                lg.write_dict(results)
+                if host_id == 0:
+                    logging.info("saved %s", path)
+                    # validation is process-local: params are fully
+                    # replicated, so each host holds complete copies
+                    # (np.asarray pulls the local shard) and the eval jit
+                    # involves no collectives — other hosts proceed and
+                    # simply wait in their next psum
+                    val_params = jax.tree_util.tree_map(np.asarray, state.params)
+                    fwd = make_forward_fn(model_cls, cfg, val_params, iters=args.valid_iters)
+                    results = {}
+                    for fn, kw in (
+                        (validate_eth3d, dict(data_root=f"{args.data_root}/ETH3D")),
+                        (validate_middlebury, dict(resolution="H", data_root=f"{args.data_root}/Middlebury")),
+                        (validate_kitti, dict(split="2012", data_root=f"{args.data_root}/KITTI")),
+                        (validate_kitti, dict(split="2015", data_root=f"{args.data_root}/KITTI")),
+                        (validate_booster, dict(resolution="Q", data_root=f"{args.data_root}/Booster_dataset")),
+                    ):
+                        try:
+                            results.update(fn(fwd, **kw))
+                        except Exception as e:  # dataset absent on this machine
+                            logging.warning("validation %s skipped: %s", fn.__name__, e)
+                    lg.write_dict(results)
 
             if total_steps > args.num_steps:
                 break

@@ -38,18 +38,31 @@ from dkt_stereo_tpu.data.datasets import (
 logger = logging.getLogger(__name__)
 
 
+# One compiled executable per (model class, config, iters) — params enter as
+# a jit ARGUMENT, so swapping weights (the train loop validates every
+# validation_frequency steps with fresh params) reuses the compile instead of
+# re-tracing with the weights baked in as constants (minutes per validator
+# per shape on TPU).
+_FWD_CACHE: dict = {}
+
+
 def make_forward_fn(model_cls, cfg, params, iters=32):
     """Jitted eval forward: (img1, img2 NHWC [0,255]) → disp (B,H,W)."""
     import jax
 
-    model = model_cls(cfg, iters=iters, test_mode=True)
+    key = (model_cls, cfg, iters)
+    if key not in _FWD_CACHE:
+        model = model_cls(cfg, iters=iters, test_mode=True)
 
-    @jax.jit
-    def forward(img1, img2):
-        _, disp = model.apply(params, img1, img2)
-        return disp
+        @jax.jit
+        def forward(p, img1, img2):
+            _, disp = model.apply(p, img1, img2)
+            return disp
 
-    return forward
+        _FWD_CACHE[key] = forward
+
+    fwd = _FWD_CACHE[key]
+    return lambda img1, img2: fwd(params, img1, img2)
 
 
 def _run_one(forward, img1, img2, divide_factor):

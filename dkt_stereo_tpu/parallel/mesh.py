@@ -36,6 +36,12 @@ def make_mesh(
     halo/stat collectives of H-dim sharding ride neighbor ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available (a silent shrink "
+                "would change shard geometry under the caller)"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if len(axis_names) == 1:

@@ -500,6 +500,25 @@ def restore_checkpoint(path: str, target_state):
     return ckptr.restore(os.path.abspath(path), target_state)
 
 
+def restore_variables(path, template_vars: dict, which: str = "student") -> dict:
+    """Flax variables from ANY checkpoint this framework meets: a reference
+    ``.pth`` (imported against ``template_vars``), a bare-variables Orbax
+    checkpoint, or a full DKT train-state Orbax checkpoint — for the last,
+    ``which`` selects the student/ema/teacher weights. This is what lets
+    ``cli.eval``/``cli.demo`` consume ``cli.train``'s own checkpoints
+    directly (previously a typed restore against a bare-variables template
+    crashed on the train-state tree)."""
+    if os.fspath(path).endswith(".pth"):
+        return import_reference_pth(path, template_vars)
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    if "ema_params" in tree:  # full DKTTrainState layout
+        field = {"student": "params", "ema": "ema_params", "teacher": "teacher_params"}[which]
+        tree = tree[field]
+    return tree
+
+
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     """Newest completed ``step_N`` Orbax checkpoint under ``ckpt_dir`` (the
     layout :func:`save_checkpoint` writes), or None. In-progress Orbax saves

@@ -51,10 +51,12 @@ class Logger:
 
     SUM_FREQ = 100
 
-    def __init__(self, save_root=None, get_lr=None):
+    def __init__(self, save_root=None, get_lr=None, start_step=0):
         self.save_root = save_root
         self.get_lr = get_lr or (lambda: float("nan"))
-        self.total_steps = 0
+        # resumed runs log at their true global step (otherwise post-resume
+        # scalars restart at 0 and interleave with pre-preemption history)
+        self.total_steps = start_step
         self._window = 0
         self.running_loss: dict[str, float] = {}
         self.writer = make_writer(save_root)

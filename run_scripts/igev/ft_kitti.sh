@@ -16,5 +16,5 @@ python -m dkt_stereo_tpu.cli.train --train_datasets kitti_mix \
   --batch_size 4 --num_steps 50000 --image_size 320 736 --lr 2e-4 \
   --ema_decay 0.99999 --tau_pl 0.5 \
   --save_dir $workspace/stage2 \
-  --restore_ckpt $workspace/stage1/step_5000 \
+  --restore_ckpt $workspace/stage1/step_5000 --restore_weights_only \
   --restore_ckpt_T model_zoo/stereo/IGEV-Stereo/sceneflow.pth

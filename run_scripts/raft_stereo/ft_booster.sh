@@ -18,5 +18,5 @@ python -m dkt_stereo_tpu.cli.train --train_datasets booster \
   --batch_size 2 --num_steps 5000 --image_size 480 896 --lr 1e-5 \
   --ema_decay 0.99999 --tau_pl 3.0 \
   --save_dir $workspace/stage2 \
-  --restore_ckpt $workspace/stage1/step_5000 \
+  --restore_ckpt $workspace/stage1/step_5000 --restore_weights_only \
   --restore_ckpt_T model_zoo/stereo/RAFT-Stereo/raftstereo-sceneflow.pth

@@ -217,3 +217,69 @@ def test_eval_cli_spatial_bands_non_raft(tmp_path, rng):
     np.testing.assert_allclose(
         banded["kitti-2015-epe"], plain["kitti-2015-epe"], rtol=1e-3
     )
+
+
+def test_make_forward_fn_compile_cache(rng):
+    """Params enter the jitted forward as an ARGUMENT: swapping weights for
+    the same (model, cfg, iters) must reuse the compiled executable (the
+    train loop validates repeatedly; baking weights in as constants cost a
+    full recompile per validation)."""
+    from dkt_stereo_tpu.eval import validate as V
+
+    class FakeModel:
+        def __init__(self, cfg, iters=1, test_mode=True):
+            self.cfg = cfg
+
+        def apply(self, p, a, b):
+            return None, p["w"] * (a.mean(-1) - b.mean(-1))
+
+    V._FWD_CACHE.clear()
+    a = jnp.ones((1, 4, 4, 3))
+    b = jnp.zeros((1, 4, 4, 3))
+    f1 = V.make_forward_fn(FakeModel, cfg=(1,), params={"w": jnp.float32(2.0)})
+    f2 = V.make_forward_fn(FakeModel, cfg=(1,), params={"w": jnp.float32(5.0)})
+    np.testing.assert_allclose(np.asarray(f1(a, b)), 2.0)
+    np.testing.assert_allclose(np.asarray(f2(a, b)), 5.0)  # new weights apply
+    assert len(V._FWD_CACHE) == 1  # one executable for both weight sets
+    V._FWD_CACHE.clear()
+
+
+def test_eval_cli_full_train_state_checkpoint(tmp_path, rng):
+    """cli.eval must consume cli.train's own Orbax checkpoints (full DKT
+    train-state trees) directly, selecting weights via --which — previously
+    a typed restore against a bare-variables template crashed."""
+    import jax
+    import jax.random as jrandom
+
+    from dkt_stereo_tpu.cli.eval import main
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.train.checkpoint import save_checkpoint
+
+    import json
+
+    _make_kitti(tmp_path, rng, const_disp=9.0)
+    model_cls, cfg_cls, _ = get_model("RAFTStereo")
+    cfg = cfg_cls(mixed_precision=False, corr_dtype="float32")
+    model = model_cls(cfg, iters=2, test_mode=False)
+    variables = model.init(
+        jrandom.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+    )
+    bumped = jax.tree_util.tree_map(lambda x: x + 0.05, variables)
+    full = {"step": 3, "params": bumped, "ema_params": variables,
+            "teacher_params": bumped, "opt_state": {}}
+    ck_full = save_checkpoint(str(tmp_path / "full"), full, step=3)
+    ck_bare = save_checkpoint(str(tmp_path / "bare"), variables, step=0)
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": "RAFTStereo", "mixed_precision": False, "corr_dtype": "float32",
+    }))
+    args = ["--config", str(cfg_path), "--valid_iters", "2",
+            "--datasets", "kitti-2015", "--data_root", str(tmp_path)]
+    ema = main(args + ["--restore_ckpt", ck_full, "--which", "ema"])
+    bare = main(args + ["--restore_ckpt", ck_bare])
+    np.testing.assert_allclose(
+        ema["kitti-2015-epe"], bare["kitti-2015-epe"], rtol=1e-6
+    )
+    student = main(args + ["--restore_ckpt", ck_full])  # default: student
+    assert abs(student["kitti-2015-epe"] - bare["kitti-2015-epe"]) > 1e-3
