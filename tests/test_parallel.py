@@ -231,3 +231,43 @@ def test_cross_band_instance_norm_exact(rng):
         got = out[k, off : off + band_h]
         want = full[0, k * band_h : (k + 1) * band_h]
         np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_banded_eval_exact_real_model_igev(rng):
+    """banded_forward_exact through the FULL IGEV graph (MobileNet trunk
+    BN-eval + stems/spx instance norms under cross_band_stats + GWC volume +
+    hourglass + GRU iterations on the 2-band mesh). At random init (the
+    adversarial case) the error is receptive-field truncation at the band
+    boundary only: measured max 2.8 px on a ~257 px scale at the boundary
+    rows, decaying to fp noise at the frame edges."""
+    from dkt_stereo_tpu.eval.tiled import banded_forward_exact
+    from dkt_stereo_tpu.models import IGEVStereo, IGEVStereoConfig
+    from dkt_stereo_tpu.ops.pad import pad_input, unpad_input
+
+    mesh = make_mesh(2)
+    cfg = IGEVStereoConfig(max_disp=32, mixed_precision=False)
+    model = IGEVStereo(cfg, iters=2, test_mode=True)
+    H, W = 640, 64
+    img1 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+
+    @jax.jit
+    def forward(a, b):
+        return model.apply(params, a, b)[1]
+
+    a, spec = pad_input(jnp.asarray(img1[None]), 32, "sintel")
+    b, _ = pad_input(jnp.asarray(img2[None]), 32, "sintel")
+    full = np.asarray(unpad_input(forward(a, b)[..., None], spec))[0, ..., 0]
+    banded = banded_forward_exact(model, params, img1, img2, mesh, halo=64)
+    assert banded.shape == full.shape
+    err = np.abs(banded - full)
+    scale = np.abs(full).max()
+    assert err.max() < 0.02 * scale + 1.0, f"max {err.max()} scale {scale}"
+    # far from the band boundary (frame edges) the truncation has decayed to
+    # a fraction of the boundary peak (measured 0.03-0.37 px vs 2.8 at the
+    # boundary across seeds) — a band-local-stats regression would not decay
+    mid = err[H // 2 - 4 : H // 2 + 4].max()
+    assert err[:32].max() < max(0.8, 0.3 * mid), (err[:32].max(), mid)
+    assert err[-32:].max() < max(0.8, 0.3 * mid), (err[-32:].max(), mid)
