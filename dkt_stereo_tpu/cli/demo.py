@@ -28,6 +28,13 @@ def parse_args(argv=None):
     p.add_argument("--which", choices=["student", "ema", "teacher"], default="student",
                    help="weight set to use from a full DKT train-state checkpoint")
     p.add_argument("--save_numpy", action="store_true")
+    p.add_argument("--save_ply", action="store_true",
+                   help="also export a colored point cloud per frame "
+                   "(utils/visualization.py:453-511)")
+    p.add_argument("--focal", type=float, default=721.5,
+                   help="focal length in px for --save_ply depth conversion")
+    p.add_argument("--baseline", type=float, default=0.54,
+                   help="stereo baseline in meters for --save_ply")
     return p.parse_args(argv)
 
 
@@ -70,6 +77,13 @@ def main(argv=None):
         stem = Path(lp).stem
         if args.save_numpy:
             np.save(out_dir / f"{stem}.npy", disp)
+        if args.save_ply:
+            from dkt_stereo_tpu.utils.visualization import disp_to_ply
+
+            disp_to_ply(
+                str(out_dir / f"{stem}.ply"), disp, img1,
+                focal=args.focal, baseline=args.baseline,
+            )
         rgb, _ = disp_to_color(disp)
         Image.fromarray(rgb[0].transpose(1, 2, 0).astype(np.uint8)).save(out_dir / f"{stem}.png")
         print(f"{lp} -> {out_dir / (stem + '.png')}")
