@@ -107,6 +107,24 @@ def _train_step(pid, nproc, mesh):
     assert int(new_state.step) == 1
     print(f"TRAIN {pid} {loss:.6f}", flush=True)
 
+    ckdir = None
+    for a in sys.argv:
+        if a.startswith("--ckdir="):
+            ckdir = a.split("=", 1)[1]
+    if ckdir:
+        # cli/train.py's in-loop save path: EVERY process calls the Orbax
+        # save (a cross-process sync point), then host 0's validation pulls
+        # process-local copies of the replicated params (fully addressable,
+        # no collectives — other hosts are free to run ahead)
+        from dkt_stereo_tpu.train.checkpoint import save_checkpoint
+
+        path = save_checkpoint(ckdir, new_state, 1)
+        val_params = jax.tree_util.tree_map(np.asarray, new_state.params)
+        probe = float(np.abs(jax.tree_util.tree_leaves(val_params)[0]).sum())
+        import os as _os
+
+        print(f"SAVED {pid} {_os.path.basename(path)} {probe:.4f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -24,7 +24,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_data_parallel():
+def test_two_process_data_parallel(tmp_path):
     port = _free_port()
     nproc = 2
     env = dict(os.environ)
@@ -33,7 +33,8 @@ def test_two_process_data_parallel():
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join("tests", "_multihost_worker.py"),
-             str(pid), str(nproc), str(port), "--train-step"],
+             str(pid), str(nproc), str(port), "--train-step",
+             f"--ckdir={tmp_path / 'ck'}"],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -68,3 +69,15 @@ def test_two_process_data_parallel():
         if line.startswith("TRAIN")
     ]
     assert len(losses) == nproc and len(set(losses)) == 1, losses
+    # the multi-process Orbax save completed on BOTH processes (the save is
+    # a cross-process sync point — cli/train.py calls it on every host) and
+    # each pulled identical process-local validation params
+    saved = [
+        line.split()[2:]
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("SAVED")
+    ]
+    assert len(saved) == nproc, saved
+    assert len({tuple(s) for s in saved}) == 1, saved
+    assert (tmp_path / "ck" / "step_1").is_dir()
