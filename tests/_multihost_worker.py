@@ -107,23 +107,40 @@ def _train_step(pid, nproc, mesh):
     assert int(new_state.step) == 1
     print(f"TRAIN {pid} {loss:.6f}", flush=True)
 
-    ckdir = None
-    for a in sys.argv:
-        if a.startswith("--ckdir="):
-            ckdir = a.split("=", 1)[1]
+    ckdir = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--ckdir=")), None
+    )
     if ckdir:
+        import os
+
+        from dkt_stereo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+        def probe_of(tree):
+            return float(
+                sum(np.abs(l).sum() for l in jax.tree_util.tree_leaves(tree))
+            )
+
         # cli/train.py's in-loop save path: EVERY process calls the Orbax
-        # save (a cross-process sync point), then host 0's validation pulls
-        # process-local copies of the replicated params (fully addressable,
-        # no collectives — other hosts are free to run ahead)
-        from dkt_stereo_tpu.train.checkpoint import save_checkpoint
-
+        # save (a cross-process sync point) ...
         path = save_checkpoint(ckdir, new_state, 1)
-        val_params = jax.tree_util.tree_map(np.asarray, new_state.params)
-        probe = float(np.abs(jax.tree_util.tree_leaves(val_params)[0]).sum())
-        import os as _os
-
-        print(f"SAVED {pid} {_os.path.basename(path)} {probe:.4f}", flush=True)
+        # ... then ONLY host 0 pulls process-local copies of the replicated
+        # params for validation — asymmetric exactly like production: if the
+        # pull ever required a cross-process collective (params accidentally
+        # sharded, say), host 0 would hang here with no partner and the test
+        # times out, which is the deadlock mode this pins
+        if pid == 0:
+            val_params = jax.tree_util.tree_map(np.asarray, new_state.params)
+            probe_mem = probe_of(val_params)
+        # content oracle: both processes restore the checkpoint (typed
+        # restore, replicated shardings) and report the restored probe;
+        # host 0 additionally checks it matches the in-memory params
+        restored = restore_checkpoint(path, new_state)
+        probe = probe_of(jax.tree_util.tree_map(np.asarray, restored.params))
+        if pid == 0:
+            assert abs(probe - probe_mem) < 1e-3 * max(1.0, abs(probe_mem)), (
+                probe, probe_mem,
+            )
+        print(f"SAVED {pid} {os.path.basename(path)} {probe:.4f}", flush=True)
 
 
 if __name__ == "__main__":
