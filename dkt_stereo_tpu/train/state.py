@@ -36,11 +36,23 @@ class DKTHyperParams:
 
 
 def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.01):
-    """torch OneCycleLR(anneal_strategy='linear', three_phase=False) clone."""
-    warm = max(int(round(pct_start * total_steps)), 1)
-    up = optax.linear_schedule(max_lr / 25.0, max_lr, warm)
-    down = optax.linear_schedule(max_lr, max_lr / 25.0 / 1e4, total_steps - warm)
-    return optax.join_schedules([up, down], [warm])
+    """torch OneCycleLR(anneal_strategy='linear', three_phase=False) clone,
+    matched to torch's exact phase arithmetic: warmup peaks at step
+    ``float(pct_start·total)−1`` and the anneal reaches ``min_lr`` at step
+    ``total−1`` (an optax join_schedules approximation previously deviated
+    by ~1e-5 absolute / up to 9% near the tail)."""
+    init = max_lr / 25.0
+    min_lr = init / 1e4
+    b1 = max(float(pct_start * total_steps) - 1.0, 1e-9)  # phase-1 end step
+    span = max(float(total_steps - 1) - b1, 1e-9)
+
+    def schedule(count):
+        s = jnp.asarray(count, jnp.float32)
+        up = init + (max_lr - init) * jnp.clip(s / b1, 0.0, 1.0)
+        down = max_lr + (min_lr - max_lr) * jnp.clip((s - b1) / span, 0.0, 1.0)
+        return jnp.where(s <= b1, up, down)
+
+    return schedule
 
 
 def make_optimizer(hyper: DKTHyperParams):

@@ -65,10 +65,22 @@ def test_dense_augmentor_shapes_and_clean_semantics(rng):
     i1c, i2c, i1, i2, f = aug(img1, img2, flow)
     assert i1c.shape == (64, 128, 3) and i1.shape == (64, 128, 3)
     assert f.shape == (64, 128, 2)
-    # clean pair must be photometrically untouched: all its pixel values
-    # exist in the original image (spatial-only transforms interpolate
-    # linearly between neighbors, so check value range instead)
-    assert i1c.min() >= img1.min() and i1c.max() <= img1.max()
+
+    # Clean pair must be photometrically untouched. Constant-color sources
+    # make this a sharp oracle: every spatial-only transform (resize, crop,
+    # flip, y-jitter) maps a constant image to the same constant, while any
+    # photometric op (jitter/gamma/eraser) would move pixel values.
+    c1 = np.full((120, 240, 3), (37, 99, 201), np.uint8)
+    c2 = np.full((120, 240, 3), (64, 150, 30), np.uint8)
+    for seed in range(4):
+        aug2 = FlowAugmentorRTClean(
+            crop_size=(64, 128), rng=np.random.default_rng(seed), yjitter=True
+        )
+        j1c, j2c, j1, j2, _ = aug2(c1, c2, flow.copy())
+        np.testing.assert_array_equal(j1c, np.broadcast_to((37, 99, 201), j1c.shape))
+        np.testing.assert_array_equal(j2c, np.broadcast_to((64, 150, 30), j2c.shape))
+        # the augmented pair DID get photometric treatment (jitter always runs)
+        assert not np.array_equal(j1, j1c)
 
 
 def test_sparse_augmentor_shapes(rng):
@@ -202,9 +214,27 @@ def test_loader_host_sharding(tmp_path, rng):
     b0 = next(iter(h0))
     b1 = next(iter(h1))
     assert b0["img1"].shape[0] == 2 and b1["img1"].shape[0] == 2
-    # hosts split the same global index order (augmentation rngs differ, so
-    # compare the underlying crop-independent property: disjoint coverage)
     assert bf["img1"].shape[0] == 4
+
+    # Disjoint-split property, pinned with an index-probe dataset: each host
+    # must serve ITS half of the same seeded global batch order.
+    class Probe:
+        def __len__(self):
+            return 8
+
+        def get_sample(self, i, rng=None):
+            return {"x": np.full((2, 2), float(i), np.float32)}
+
+    pf = next(iter(StereoLoader(Probe(), batch_size=4, num_workers=1, seed=5)))
+    p0 = next(iter(StereoLoader(Probe(), batch_size=4, num_workers=1, seed=5,
+                                num_hosts=2, host_id=0)))
+    p1 = next(iter(StereoLoader(Probe(), batch_size=4, num_workers=1, seed=5,
+                                num_hosts=2, host_id=1)))
+    np.testing.assert_array_equal(p0["x"], pf["x"][:2])
+    np.testing.assert_array_equal(p1["x"], pf["x"][2:])
+    i0 = {float(v) for v in p0["x"][:, 0, 0]}
+    i1_ = {float(v) for v in p1["x"][:, 0, 0]}
+    assert not (i0 & i1_), (i0, i1_)  # no sample served twice
 
 
 def test_dataset_mul_and_add(tmp_path, rng):

@@ -185,12 +185,17 @@ def test_step_timer_excludes_warmup():
     import time
 
     t = StepTimer(warmup=2)
-    for _ in range(5):
+    # warmup iterations are 25x slower than the timed ones — a timer that
+    # wrongly included them would report ~3x fewer steps/s
+    for d in (0.05, 0.05, 0.002, 0.002, 0.002):
         with t:
-            time.sleep(0.002)
+            time.sleep(d)
     assert t.count == 5
-    # first two samples excluded: mean over the 3 timed iterations
-    assert 0 < t.steps_per_sec < 1000
+    sps = t.steps_per_sec
+    # 3 timed iterations at ~2ms each -> ~500 steps/s (sleep() overshoots,
+    # so bound loosely from below); including the 50ms warmups would give
+    # ~1/(0.104/5) ≈ 48
+    assert 100 < sps < 1000, sps
 
 
 def test_nerfstereo_dataset(tmp_path, rng):
@@ -230,5 +235,17 @@ def test_crop_augmentor(rng):
     flow = rng.uniform(-30, 0, (40, 64, 2)).astype(np.float32)
     c1, c2, cf = aug(img1, img2, flow)
     assert c1.shape == (16, 24, 3) and c2.shape == (16, 24, 3) and cf.shape == (16, 24, 2)
-    # the crop is a window of the source: every cropped row exists in img1
-    assert any(np.array_equal(c1[0], img1[y, x : x + 24]) for y in range(40) for x in range(41))
+    # locate the crop offset from row 0, then require the WHOLE crop — and
+    # the img2/flow crops — to be the same-aligned source window (misaligned
+    # stereo pairs would corrupt training while a row-0-only check passes)
+    offs = [
+        (y, x)
+        for y in range(40)
+        for x in range(41)
+        if np.array_equal(c1[0], img1[y, x : x + 24])
+    ]
+    assert offs, "crop row 0 not found in source"
+    y0, x0 = offs[0]
+    np.testing.assert_array_equal(c1, img1[y0 : y0 + 16, x0 : x0 + 24])
+    np.testing.assert_array_equal(c2, img2[y0 : y0 + 16, x0 : x0 + 24])
+    np.testing.assert_array_equal(cf, flow[y0 : y0 + 16, x0 : x0 + 24])

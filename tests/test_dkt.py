@@ -72,7 +72,8 @@ def test_fande_filter_withprob_branches(rng):
     tgt[0, :3] = 0.0  # top half consistent
     valid = np.ones((B, H, W), np.float32)
     # p = 18/36 = 0.5. If u < 0.5 → inconsistent pixels re-admitted.
-    for key_int in range(6):
+    branches = set()
+    for key_int in range(12):
         out, v = fande_filter(
             jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid),
             jax.random.PRNGKey(key_int), withprob=True, threshold=3.0,
@@ -82,6 +83,10 @@ def test_fande_filter_withprob_branches(rng):
         assert (v[0, :3] == 1).all()
         # inconsistent half: all-or-nothing per image
         assert (v[0, 3:] == v[0, 3, 0]).all()
+        branches.add(float(v[0, 3, 0]))
+    # the Bernoulli must ACTUALLY fire both ways across keys (p=0.5, 12
+    # draws: P(one-sided) ≈ 5e-4) — a dead re-admission path passed before
+    assert branches == {0.0, 1.0}, branches
 
 
 def test_fande_ensemble_matches_torch(rng):
@@ -124,13 +129,15 @@ def test_onecycle_schedule_matches_torch():
     )
     ours = onecycle_linear(2e-4, 1100, 0.01)
     torch_lrs, our_lrs = [], []
-    for i in range(0, 1100, 100):
+    for i in range(1100):
         torch_lrs.append(sched.get_last_lr()[0])
         our_lrs.append(float(ours(i)))
-        for _ in range(100):
-            opt.step()
-            sched.step()
-    np.testing.assert_allclose(our_lrs, torch_lrs, rtol=0.05)
+        opt.step()
+        sched.step()
+    # every step incl. the 11-step warmup ramp; tight tolerance catches a
+    # wrong pct_start or an off-by-one schedule position (the old
+    # stride-100/rtol-5% check skipped the entire warmup)
+    np.testing.assert_allclose(our_lrs, torch_lrs, rtol=1e-4, atol=1e-9)
 
 
 def test_dkt_train_step_end_to_end(rng):

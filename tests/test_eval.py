@@ -91,10 +91,18 @@ def test_metrics_library(rng):
     np.testing.assert_allclose(EPE_metric(est, gt, mask), 4.0, atol=1e-5)
     assert Thres_metric(est, gt, mask, 5.0) == 0.0
     assert Thres_metric(est, gt, mask, 3.0) == 1.0
-    # <10% coverage skip
+    # <10% coverage skip (utils/metrics.py:31-32): both frames 1/80 covered
+    # -> both skipped -> 0.0
     tiny_mask = np.zeros_like(gt, bool)
     tiny_mask[:, 0, 0] = True
-    assert EPE_metric(est, gt, tiny_mask) == 0.0 or True  # skipped images -> 0
+    assert EPE_metric(est, gt, tiny_mask) == 0.0
+    # one frame skipped, the other (full coverage, error 4+6=10 on frame 1)
+    # aggregates alone — proves the skip drops ONLY the low-coverage frame
+    half = tiny_mask.copy()
+    half[1] = True
+    est2 = est.copy()
+    est2[1] += 6.0
+    np.testing.assert_allclose(EPE_metric(est2, gt, half), 10.0, atol=1e-5)
 
 
 def _make_middlebury(tmp_path, rng, const_disp=11.0):

@@ -35,6 +35,18 @@ def test_ns_loss_runs_and_masks(rng):
     g = jax.grad(lambda p: ns_loss(p, target, conf, *ims)[0])(preds)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
 
+    # confidence masking, pinned: with conf == 0 the disparity-supervision
+    # term must vanish — the loss becomes invariant to the pseudo-label
+    zero_conf = jnp.zeros_like(conf)
+    l1 = float(ns_loss(preds, target, zero_conf, *ims)[0])
+    l2 = float(ns_loss(preds, target + 7.0, zero_conf, *ims)[0])
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    # ... and with conf == 1 it must NOT be (the supervision term is live)
+    one_conf = jnp.ones_like(conf)
+    l3 = float(ns_loss(preds, target, one_conf, *ims)[0])
+    l4 = float(ns_loss(preds, target + 7.0, one_conf, *ims)[0])
+    assert abs(l3 - l4) > 1e-3, (l3, l4)
+
 
 def test_ptrans_shapes(rng):
     H, W = 200, 320
