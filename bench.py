@@ -19,15 +19,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dkt_stereo_tpu.models import RAFTStereo, RAFTStereoConfig
+    from dkt_stereo_tpu.cli.config import load_model_config
+    from dkt_stereo_tpu.models import get_model
 
-    # Perf-mode config: bf16 compute, bf16-stored volume, fused Pallas
-    # pyramid lookup ("reg_cuda" = the TPU analogue of the reference's CUDA
-    # corr_sampler; 6x faster than the XLA gather path here) and the fused
-    # Pallas encoder chain (exact instance-norm statistics). Accuracy
-    # evaluation (cli/eval.py) uses the exact default config.
-    cfg = RAFTStereoConfig(corr_implementation="reg_cuda", pallas_encoder=True)
-    model = RAFTStereo(cfg, iters=32, test_mode=True)
+    # Perf-mode config AS SHIPPED (configs/raft_stereo/pallas.json): bf16
+    # compute, bf16-stored volume, fused Pallas pyramid lookup ("reg_cuda" =
+    # the TPU analogue of the reference's CUDA corr_sampler) and the fused
+    # Pallas encoder chain (exact instance-norm statistics). Loading the
+    # config file keeps the benched configuration and the user-facing one
+    # from drifting. Accuracy evaluation (cli/eval.py) uses base.json.
+    config = load_model_config("configs/raft_stereo/pallas.json")
+    model_cls, cfg_cls, _ = get_model(config["model"])
+    cfg = cfg_cls.from_dict(config)
+    model = model_cls(cfg, iters=32, test_mode=True)
 
     B, H, W = 1, 736, 1280
     rng = np.random.default_rng(0)

@@ -64,6 +64,17 @@ def parse_args(argv=None):
     p.add_argument("--do_flip", default=False, choices=["h", "v", False])
     p.add_argument("--spatial_scale", type=float, nargs="+", default=[-0.2, 0.4])
     p.add_argument("--noyjitter", action="store_true")
+    # NeRF-Stereo training (loss_func=ns_loss + --train_datasets nerf_stereo).
+    # The reference's fetch_dataloader reads args.conf_threshold /
+    # args.disp_threshold (core/stereo_datasets.py:530-531) but its CLI never
+    # defines them — defined here with the NS defaults; honored by ns_loss.
+    p.add_argument("--conf_threshold", type=float, default=0.5)
+    p.add_argument("--disp_threshold", type=float, default=512.0)
+    p.add_argument("--ns_num_tri", type=int, default=None,
+                   help="trinocular samples per global batch when mixing "
+                        "nerf_stereo with binocular datasets (default: "
+                        "proportional to pool sizes; the split is static so "
+                        "the step compiles once)")
     # TPU-specific
     p.add_argument("--data_root", default="data")
     p.add_argument("--seed", type=int, default=1234)
@@ -131,7 +142,11 @@ def train(args) -> str:
     model_cls, cfg_cls, _loss = get_model(config["model"])
     cfg = cfg_cls.from_dict(config)
     from dkt_stereo_tpu.models.registry import make_loss_adapter
-    loss_adapter = make_loss_adapter(config["model"], cfg)
+    # the reference's __losses__ dispatch (tools/ft_dkt.py:117-118): the
+    # config's loss_func key selects the loss by name; unknown names raise
+    loss_name = config.get("loss_func")
+    ns_mode = loss_name == "ns_loss"
+    loss_adapter = None if ns_mode else make_loss_adapter(config["model"], cfg, loss_name)
 
     hyper = DKTHyperParams(
         lr=args.lr,
@@ -165,15 +180,57 @@ def train(args) -> str:
         args.do_flip,
         args.noyjitter,
         data_root=args.data_root,
+        conf_threshold=args.conf_threshold,
+        disp_threshold=args.disp_threshold,
     )
-    loader = StereoLoader(
-        dataset,
-        batch_size=args.batch_size,
-        num_workers=args.num_workers,
-        seed=args.seed,
-        num_hosts=num_hosts,
-        host_id=host_id,
-    )
+    from dkt_stereo_tpu.data.triplet import split_modalities
+
+    bi_ds, tri_ds = split_modalities(dataset)
+    if ns_mode:
+        if tri_ds is None:
+            raise SystemExit(
+                "loss_func=ns_loss needs trinocular data: add nerf_stereo "
+                "to --train_datasets"
+            )
+        from dkt_stereo_tpu.data.loader import MixedStereoLoader
+
+        loader = MixedStereoLoader(
+            bi_ds,
+            tri_ds,
+            batch_size=args.batch_size,
+            num_tri=args.ns_num_tri,
+            num_workers=args.num_workers,
+            seed=args.seed,
+            num_hosts=num_hosts,
+            host_id=host_id,
+        )
+        if loader.nb % mesh.devices.size or loader.nt % mesh.devices.size:
+            raise SystemExit(
+                f"NS modality split nb={loader.nb}/nt={loader.nt} must each "
+                f"divide the {mesh.devices.size}-device mesh (per-modality "
+                "slices are batch-sharded); adjust --ns_num_tri"
+            )
+    else:
+        if tri_ds is not None:
+            raise SystemExit(
+                "nerf_stereo training data needs loss_func=ns_loss in the "
+                "config (the NS step consumes the trinocular batch contract)"
+            )
+        loader = StereoLoader(
+            dataset,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            seed=args.seed,
+            num_hosts=num_hosts,
+            host_id=host_id,
+        )
+
+    if len(loader) == 0:
+        # an empty epoch would spin the training while-loop forever
+        raise SystemExit(
+            f"dataset too small for --batch_size {args.batch_size}: the "
+            f"loader yields 0 batches per epoch ({len(dataset)} samples)"
+        )
 
     H, W = args.image_size
     state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(args.seed), (args.batch_size, H, W), model_cls=model_cls)
@@ -229,7 +286,20 @@ def train(args) -> str:
                 state = state.replace(teacher_params=teacher)
 
     state = replicate(state, mesh)
-    step_fn = make_dkt_train_step(cfg, hyper, model_cls=model_cls, loss_adapter=loss_adapter)
+    if ns_mode:
+        from dkt_stereo_tpu.train.ns_step import make_ns_train_step
+
+        step_fn = make_ns_train_step(
+            cfg,
+            hyper,
+            model_cls=model_cls,
+            nb=loader.nb,
+            nt=loader.nt,
+            conf_threshold=args.conf_threshold,
+            disp_threshold=args.disp_threshold,
+        )
+    else:
+        step_fn = make_dkt_train_step(cfg, hyper, model_cls=model_cls, loss_adapter=loss_adapter)
     schedule = onecycle_linear(hyper.lr, hyper.num_steps + 100)
 
     save_dir = Path(args.save_dir)
@@ -276,7 +346,7 @@ def train(args) -> str:
             lg.writer.add_scalar("learning_rate", host_metrics["learning_rate"], total_steps)
             lg.push({k: host_metrics[k] for k in ("epe", "1px", "3px", "5px", "loss") if k in host_metrics})
 
-            if total_steps % 100 == 0 and host_id == 0:
+            if total_steps % 100 == 0 and host_id == 0 and "flow" in batch:
                 # TB image dumps (ft_dkt.py:252-272): inputs + colormapped GT
                 from dkt_stereo_tpu.utils.logging import save_images
                 from dkt_stereo_tpu.utils.visualization import disp_to_color

@@ -135,7 +135,9 @@ class StereoDataset:
         # samples must keep their origin dataset's reader/sparse mode AND
         # augmentor config; merging the path lists is only sound when both
         # sides dispatch identically — otherwise per-index dispatch
-        if isinstance(other, ConcatStereoDataset):
+        if isinstance(other, ConcatStereoDataset) or not isinstance(other, StereoDataset):
+            # ConcatStereoDataset, or a foreign-contract dataset (NerfStereo
+            # triplets): per-part dispatch only
             return ConcatStereoDataset([self, other])
         if (
             (other.disparity_reader is not self.disparity_reader)
@@ -376,7 +378,8 @@ class Booster(StereoDataset):
 
 def fetch_dataset(train_datasets, image_size, spatial_scale=(-0.2, 0.4),
                   saturation_range=None, img_gamma=None, do_flip=False,
-                  noyjitter=False, data_root="data"):
+                  noyjitter=False, data_root="data",
+                  conf_threshold=0.5, disp_threshold=512.0):
     """Dataset composition with the reference's replication factors
     (core/stereo_datasets.py:482-533), with the kitti_mix branch fixed."""
     aug_params = {
@@ -413,6 +416,30 @@ def fetch_dataset(train_datasets, image_size, spatial_scale=(-0.2, 0.4),
             new = FallingThings(dict(aug_params), root=osp.join(data_root, "FallingThings")) * 5
         elif name.startswith("tartan_air"):
             new = TartanAir(dict(aug_params), root=data_root, keywords=name.split("_")[2:])
+        elif name == "nerf_stereo":
+            # reference core/stereo_datasets.py:528-533: NS-specific aug
+            # params (the triplet augmentor's own scale range + h/v flips),
+            # conf/disp thresholds threaded from the CLI. The reference CLI
+            # never defines args.conf_threshold/disp_threshold (latent
+            # AttributeError on this branch) — fixed here, and the
+            # thresholds are actually honored by the NS loss/train step
+            # (the reference stores them and applies neither,
+            # stereo_datasets.py:411-414 commented out).
+            from dkt_stereo_tpu.data.triplet import NerfStereo
+
+            ns_aug = {
+                "crop_size": image_size,
+                "min_scale": -0.2,
+                "max_scale": 0.5,
+                "do_flip": True,
+            }
+            new = NerfStereo(
+                datapath=osp.join(data_root, "nerf-stereo", "training_set"),
+                training_file=osp.join(data_root, "nerf-stereo", "trainingQ.txt"),
+                conf_threshold=conf_threshold,
+                disp_threshold=disp_threshold,
+                aug_params=ns_aug,
+            )
         else:
             raise ValueError(f"unknown dataset {name!r}")
         logging.info("Adding %d samples from %s", len(new), name)

@@ -54,8 +54,16 @@ class StereoLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         use_processes: bool = False,
+        collate_fn=None,
     ):
         assert batch_size % num_hosts == 0, "global batch must divide across hosts"
+        # custom collate (the torch DataLoader collate_fn affordance the
+        # reference's NerfStereo.collate_fn needs, core/stereo_datasets.py:449)
+        # — threaded path only: a collate closure is not generally picklable
+        assert collate_fn is None or not use_processes
+        self.collate_fn = collate_fn or (
+            lambda samples: {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.local_batch = batch_size // num_hosts
@@ -181,9 +189,7 @@ class StereoLoader:
                     return
                 try:
                     samples = [self.dataset.get_sample(int(i), rng) for i in local]
-                    batch = {
-                        k: np.stack([s[k] for s in samples]) for k in samples[0]
-                    }
+                    batch = self.collate_fn(samples)
                 except BaseException as e:  # surface to the consumer: a dead
                     # worker holding a permit would otherwise deadlock the
                     # in-order consumer silently (e.g. one corrupt image file)
@@ -223,3 +229,103 @@ class StereoLoader:
         finally:
             stop.set()
         self.epoch += 1
+
+
+class _MixedView:
+    """Flat index space over a binocular pool [0, n_bi) followed by a
+    trinocular pool [n_bi, n_bi+n_tri) — the dispatching dataset handed to
+    the StereoLoader machinery by :class:`MixedStereoLoader`."""
+
+    def __init__(self, bi_dataset, tri_dataset):
+        self.bi, self.tri = bi_dataset, tri_dataset
+        self.n_bi = len(bi_dataset) if bi_dataset is not None else 0
+        self.n_tri = len(tri_dataset) if tri_dataset is not None else 0
+
+    def get_sample(self, index, rng=None):
+        if index < self.n_bi:
+            return self.bi.get_sample(index, rng)
+        return self.tri.get_sample(index - self.n_bi, rng)
+
+    def __len__(self):
+        return self.n_bi + self.n_tri
+
+
+class MixedStereoLoader(StereoLoader):
+    """Joint binocular + trinocular batches with a STATIC modality split.
+
+    The reference assembles mixed batches with ``NerfStereo.collate_fn``
+    (core/stereo_datasets.py:449-480) under torch's default sampler, so the
+    bi/tri counts vary per batch — ragged shapes a jitted TPU step cannot
+    take. TPU-native redesign: every global batch holds exactly ``nb``
+    binocular and ``nt`` trinocular samples (proportional to pool sizes by
+    default), drawn from independently shuffled pools, and every host's
+    local slice holds exactly ``nb/num_hosts`` + ``nt/num_hosts`` — one
+    compiled train step for the whole run. Batches still carry the
+    reference's collate contract: ``{im1_forward, im2_forward, bi: {flow,
+    valid}, tri: {flow, conf, im0, im1, im2}}`` (see
+    data/triplet.py::collate_mixed).
+    """
+
+    def __init__(self, bi_dataset, tri_dataset, batch_size: int,
+                 num_tri: int | None = None, **kw):
+        from dkt_stereo_tpu.data.triplet import collate_mixed
+
+        view = _MixedView(bi_dataset, tri_dataset)
+        super().__init__(
+            view, batch_size, collate_fn=lambda s: collate_mixed(s)[0], **kw
+        )
+        if num_tri is None:
+            if view.n_bi == 0:
+                num_tri = batch_size
+            elif view.n_tri == 0:
+                num_tri = 0
+            else:
+                frac = view.n_tri / (view.n_bi + view.n_tri)
+                num_tri = int(np.clip(round(batch_size * frac), 1, batch_size - 1))
+        if not 0 <= num_tri <= batch_size:
+            raise ValueError(f"num_tri {num_tri} outside [0, {batch_size}]")
+        if (num_tri and view.n_tri == 0) or (batch_size - num_tri and view.n_bi == 0):
+            raise ValueError(
+                f"split nb={batch_size - num_tri}/nt={num_tri} draws from an "
+                f"empty pool (n_bi={view.n_bi}, n_tri={view.n_tri})"
+            )
+        self.nt = num_tri
+        self.nb = batch_size - num_tri
+        if self.nb % self.num_hosts or self.nt % self.num_hosts:
+            raise ValueError(
+                f"modality split nb={self.nb}/nt={self.nt} must divide across "
+                f"{self.num_hosts} hosts (each local batch needs the same "
+                "static composition)"
+            )
+
+    def __len__(self):
+        n = []
+        if self.nb:
+            n.append(self.dataset.n_bi // self.nb)
+        if self.nt:
+            n.append(self.dataset.n_tri // self.nt)
+        return min(n)
+
+    def _epoch_indices(self) -> np.ndarray:
+        rs = np.random.RandomState(self.seed + self.epoch)
+        bi = np.arange(self.dataset.n_bi)
+        tri = self.dataset.n_bi + np.arange(self.dataset.n_tri)
+        if self.shuffle:
+            rs.shuffle(bi)
+            rs.shuffle(tri)
+        nbatch = len(self)
+        nb_l = self.nb // self.num_hosts
+        nt_l = self.nt // self.num_hosts
+        # per-batch block = [host0: nb_l bi + nt_l tri | host1: ... ] so the
+        # base class's contiguous per-host slice gets the static composition
+        out = np.empty(nbatch * self.batch_size, np.int64)
+        pos = 0
+        for b in range(nbatch):
+            for h in range(self.num_hosts):
+                bsrc = b * self.nb + h * nb_l
+                tsrc = b * self.nt + h * nt_l
+                out[pos : pos + nb_l] = bi[bsrc : bsrc + nb_l]
+                pos += nb_l
+                out[pos : pos + nt_l] = tri[tsrc : tsrc + nt_l]
+                pos += nt_l
+        return out

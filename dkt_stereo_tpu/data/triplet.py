@@ -193,6 +193,25 @@ class NerfStereo:
     def __len__(self):
         return len(self.image_list)
 
+    def __mul__(self, v: int):
+        import copy
+
+        out = copy.deepcopy(self)
+        out.image_list = v * out.image_list
+        return out
+
+    def __add__(self, other):
+        # heterogeneous sample contracts (triplet vs binocular) — always a
+        # concat wrapper; MixedStereoLoader re-splits it by modality
+        from dkt_stereo_tpu.data.datasets import ConcatStereoDataset
+
+        return ConcatStereoDataset([self, other])
+
+    def __radd__(self, other):
+        from dkt_stereo_tpu.data.datasets import ConcatStereoDataset
+
+        return ConcatStereoDataset([other, self])
+
     def get_sample(self, index, rng: np.random.Generator | None = None):
         index = index % len(self.image_list)
         paths = self.image_list[index]
@@ -228,6 +247,28 @@ class NerfStereo:
             "im1": data["im1"].astype(np.float32),
             "im2": data["im2"].astype(np.float32),
         }
+
+
+def split_modalities(dataset):
+    """Partition any ``fetch_dataset`` composition into its binocular and
+    trinocular pools: ``(bi_dataset | None, tri_dataset | None)``. The
+    static-split :class:`~dkt_stereo_tpu.data.loader.MixedStereoLoader`
+    draws from the two pools independently."""
+    from dkt_stereo_tpu.data.datasets import ConcatStereoDataset
+
+    parts = dataset.parts if isinstance(dataset, ConcatStereoDataset) else [dataset]
+    bi = [p for p in parts if not isinstance(p, NerfStereo)]
+    tri = [p for p in parts if isinstance(p, NerfStereo)]
+
+    def join(ps):
+        if not ps:
+            return None
+        out = ps[0]
+        for p in ps[1:]:
+            out = out + p
+        return out
+
+    return join(bi), join(tri)
 
 
 def collate_mixed(samples: list[dict]) -> tuple[dict, int, int]:

@@ -1,0 +1,249 @@
+"""On-chip Pallas kernel validation → KERNELS_r03.json.
+
+Every Pallas kernel in ops/pallas/ runs COMPILED (Mosaic, interpret=False)
+on the real chip at eval geometry (736×1280 → 184×320 at 1/4 features;
+Middlebury-F 1984×2880 → 496×720 for the chunked corr path) against its XLA
+reference op, forward AND custom-VJP backward. The CPU suite exercises the
+same comparisons in interpret mode (tests/test_pallas_*.py); this artifact
+catches Mosaic-vs-interpret divergence that suite cannot see.
+
+Model-level rows additionally pin each kernel in situ: RAFT reg_cuda vs reg,
+RAFT alt_cuda vs reg, RAFT pallas_encoder on/off (exercises
+ops/pallas/encoder_conv.py, which is inference-only — no VJP row), IGEV
+reg_cuda vs reg, PCV pallas row-sampler vs reg. fp32 features / fp32
+volumes throughout so the bounds measure KERNEL divergence, not the bf16
+storage policy.
+
+Run on the chip (one TPU process at a time):
+  nohup python scripts/validate_kernels.py > /tmp/kernels.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _maxabs(a, b):
+    return float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+
+
+def main():
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.ops import corr_lookup, corr_pyramid, corr_volume
+    from dkt_stereo_tpu.ops.corr import corr_lookup_alt, fmap_pyramid
+    from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume
+    from dkt_stereo_tpu.ops.pallas import corr_lookup_pallas
+    from dkt_stereo_tpu.ops.pallas.corr_alt import corr_lookup_alt_pallas
+    from dkt_stereo_tpu.ops.pallas.corr_lookup import _VMEM_ELEMS, _pick_rows
+    from dkt_stereo_tpu.ops.pallas.geo_lookup import geo_lookup_pallas
+    from dkt_stereo_tpu.ops.pallas.row_sample import row_sample_pallas
+    from dkt_stereo_tpu.ops.sampler import sample_row_1d
+
+    rows = []
+    rng = np.random.default_rng(0)
+    t_all = time.perf_counter()
+
+    def record(kernel, case, err, bound, extra=None):
+        rec = {
+            "kernel": kernel,
+            "case": case,
+            "max_abs_err": err,
+            "bound": bound,
+            "ok": bool(err <= bound),
+            **(extra or {}),
+        }
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- corr_lookup (materialized pyramid), eval geometry ---------------
+    B, H, W, D = 1, 184, 320, 256
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, D)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, D)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-2, W + 2, (B, H, W, 1)).astype(np.float32))
+    vol = corr_volume(f1, f2)
+    pyr = tuple(corr_pyramid(vol, 4))
+    direct = _pick_rows(B * H) * W * sum(v.shape[-1] for v in pyr) <= _VMEM_ELEMS
+    want = np.asarray(jax.jit(lambda p, c: corr_lookup(list(p), c, 4))(pyr, coords))
+    t0 = time.perf_counter()
+    got = np.asarray(jax.jit(lambda p, c: corr_lookup_pallas(p, c, 4))(pyr, coords))
+    record("corr_lookup", "fwd_eval_184x320", _maxabs(got, want), 1e-4,
+           {"path": "direct" if direct else "chunked",
+            "compile_s": round(time.perf_counter() - t0, 1)})
+
+    g_x = jax.jit(jax.grad(lambda p: (corr_lookup(list(p), coords, 4) ** 2).sum()))(pyr)
+    g_p = jax.jit(jax.grad(lambda p: (corr_lookup_pallas(p, coords, 4) ** 2).sum()))(pyr)
+    err = max(_maxabs(a, b) for a, b in zip(g_p, g_x))
+    # grad magnitudes here are O(1e2) (sum-of-squares over 5.9e7 taps);
+    # bound relative to the gradient scale
+    gscale = max(float(np.abs(np.asarray(v)).max()) for v in g_x)
+    record("corr_lookup", "vjp_eval_184x320", err, 1e-4 * max(gscale, 1.0),
+           {"grad_scale": gscale})
+    del vol, pyr, g_x, g_p
+
+    # ---- corr_lookup, Middlebury-F geometry → forces the chunked path ----
+    Bm, Hm, Wm = 1, 496, 720
+    f1m = jnp.asarray(rng.standard_normal((Bm, Hm, Wm, 64)).astype(np.float32))
+    f2m = jnp.asarray(rng.standard_normal((Bm, Hm, Wm, 64)).astype(np.float32))
+    cm = jnp.asarray(rng.uniform(-2, Wm + 2, (Bm, Hm, Wm, 1)).astype(np.float32))
+    volm = corr_volume(f1m, f2m)
+    pyrm = tuple(corr_pyramid(volm, 4))
+    chunked = _pick_rows(Bm * Hm) * Wm * sum(v.shape[-1] for v in pyrm) > _VMEM_ELEMS
+    want = np.asarray(jax.jit(lambda p, c: corr_lookup(list(p), c, 4))(pyrm, cm))
+    got = np.asarray(jax.jit(lambda p, c: corr_lookup_pallas(p, c, 4))(pyrm, cm))
+    record("corr_lookup", "fwd_middF_496x720", _maxabs(got, want), 1e-4,
+           {"path": "chunked" if chunked else "direct"})
+    g_x = jax.jit(jax.grad(lambda p: (corr_lookup(list(p), cm, 4) ** 2).sum()))(pyrm)
+    g_p = jax.jit(jax.grad(lambda p: (corr_lookup_pallas(p, cm, 4) ** 2).sum()))(pyrm)
+    err = max(_maxabs(a, b) for a, b in zip(g_p, g_x))
+    gscale = max(float(np.abs(np.asarray(v)).max()) for v in g_x)
+    record("corr_lookup", "vjp_middF_496x720", err, 1e-4 * max(gscale, 1.0),
+           {"grad_scale": gscale, "path": "chunked" if chunked else "direct"})
+    del volm, pyrm, f1m, f2m, cm, g_x, g_p
+
+    # ---- corr_alt (fused, no materialization), eval geometry -------------
+    pyr2 = fmap_pyramid(f2, 4)
+    f2t = tuple(jnp.swapaxes(f, -1, -2) for f in pyr2)
+    want = np.asarray(jax.jit(lambda a, p, c: corr_lookup_alt(a, list(p), c, 4))(f1, tuple(pyr2), coords))
+    got = np.asarray(jax.jit(lambda a, p, c: corr_lookup_alt_pallas(a, p, c, 4))(f1, f2t, coords))
+    record("corr_alt", "fwd_eval_184x320", _maxabs(got, want), 2e-4)
+
+    def loss_xla(a, b):
+        return (corr_lookup_alt(a, fmap_pyramid(b, 4), coords, 4) ** 2).sum()
+
+    def loss_pl(a, b):
+        f2t_ = tuple(jnp.swapaxes(f, -1, -2) for f in fmap_pyramid(b, 4))
+        return (corr_lookup_alt_pallas(a, f2t_, coords, 4) ** 2).sum()
+
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(f1, f2)
+    gp = jax.jit(jax.grad(loss_pl, argnums=(0, 1)))(f1, f2)
+    err = max(_maxabs(a, b) for a, b in zip(gp, gx))
+    gscale = max(float(np.abs(np.asarray(v)).max()) for v in gx)
+    record("corr_alt", "vjp_eval_184x320", err, 1e-4 * max(gscale, 1.0),
+           {"grad_scale": gscale})
+    del f1, f2, coords, pyr2, f2t, gx, gp
+
+    # ---- geo_lookup (IGEV dual pyramid), eval geometry --------------------
+    Dg, Cg = 48, 8
+    g1 = jnp.asarray(rng.standard_normal((B, H, W, 96)).astype(np.float32))
+    g2 = jnp.asarray(rng.standard_normal((B, H, W, 96)).astype(np.float32))
+    geo = jnp.asarray(rng.standard_normal((B, Dg, H, W, Cg)).astype(np.float32))
+    fn = CombinedGeoEncodingVolume(g1, g2, geo, num_levels=2, radius=4)
+    disp = jnp.asarray(rng.uniform(0, Dg, (B, H, W, 1)).astype(np.float32))
+    cgrid = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.float32)[None, None, :, None], (B, H, W, 1)
+    )
+    geo_pyr, corr_pyr = tuple(fn.geo_pyramid), tuple(fn.init_corr_pyramid)
+    want = np.asarray(jax.jit(fn)(disp, cgrid))
+    got = np.asarray(
+        jax.jit(lambda gp_, cp_, d, c: geo_lookup_pallas(gp_, cp_, d, c, 4))(
+            geo_pyr, corr_pyr, disp, cgrid
+        )
+    )
+    record("geo_lookup", "fwd_eval_184x320_D48", _maxabs(got, want), 2e-4)
+
+    def gl_xla(gp_, cp_, d):
+        f = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
+        f.geo_pyramid, f.init_corr_pyramid = list(gp_), list(cp_)
+        f.num_levels, f.radius = 2, 4
+        return (f(d, cgrid) ** 2).sum()
+
+    def gl_pl(gp_, cp_, d):
+        return (geo_lookup_pallas(gp_, cp_, d, cgrid, 4) ** 2).sum()
+
+    gx = jax.jit(jax.grad(gl_xla, argnums=(0, 1, 2)))(geo_pyr, corr_pyr, disp)
+    gp = jax.jit(jax.grad(gl_pl, argnums=(0, 1, 2)))(geo_pyr, corr_pyr, disp)
+    err = max(
+        _maxabs(a, b)
+        for ta, tb in zip(gp, gx)
+        for a, b in zip(jax.tree_util.tree_leaves(ta), jax.tree_util.tree_leaves(tb))
+    )
+    gscale = max(
+        float(np.abs(np.asarray(v)).max()) for v in jax.tree_util.tree_leaves(gx)
+    )
+    record("geo_lookup", "vjp_eval_184x320_D48", err, 1e-4 * max(gscale, 1.0),
+           {"grad_scale": gscale})
+    del g1, g2, geo, fn, geo_pyr, corr_pyr, gx, gp
+
+    # ---- row_sample (PCV gaussian lookup), eval geometry ------------------
+    K = 36  # 4 gaussians × 9 sample points
+    volr = jnp.asarray(rng.standard_normal((B, H, W, W)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-3, W + 2, (B, H, W, K)).astype(np.float32))
+    want = np.asarray(jax.jit(sample_row_1d)(volr, pos))
+    got = np.asarray(jax.jit(lambda v, p: row_sample_pallas(v, p))(volr, pos))
+    record("row_sample", "fwd_eval_184x320_K36", _maxabs(got, want), 2e-4)
+
+    gx = jax.jit(jax.grad(lambda v, p: (sample_row_1d(v, p) ** 2).sum(), argnums=(0, 1)))(volr, pos)
+    gp = jax.jit(jax.grad(lambda v, p: (row_sample_pallas(v, p) ** 2).sum(), argnums=(0, 1)))(volr, pos)
+    err = max(_maxabs(a, b) for a, b in zip(gp, gx))
+    gscale = max(float(np.abs(np.asarray(v)).max()) for v in gx)
+    record("row_sample", "vjp_eval_184x320_K36", err, 1e-4 * max(gscale, 1.0),
+           {"grad_scale": gscale})
+    del volr, pos, gx, gp
+
+    # ---- model-level, full eval frames (736×1280, fp32 policy) -----------
+    from dkt_stereo_tpu.models import get_model
+
+    Hf, Wf = 736, 1280
+    i1 = jnp.asarray(rng.uniform(0, 255, (1, Hf, Wf, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 255, (1, Hf, Wf, 3)).astype(np.float32))
+
+    def model_disp(name, iters, **cfg_kw):
+        cls, cfg_cls, _ = get_model(name)
+        cfg = cfg_cls.from_dict({"mixed_precision": False, **cfg_kw})
+        m = cls(cfg, iters=iters, test_mode=True)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+        out = np.asarray(jax.jit(lambda a, b: m.apply(p, a, b)[1])(i1, i2))
+        return out
+
+    cases = [
+        ("encoder_conv", "raft_pallas_encoder_vs_xla",
+         dict(corr_implementation="reg", corr_dtype="float32", pallas_encoder=True),
+         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 5e-2),
+        ("corr_lookup", "raft_reg_cuda_vs_reg",
+         dict(corr_implementation="reg_cuda", corr_dtype="float32"),
+         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 1e-2),
+        ("corr_alt", "raft_alt_cuda_vs_reg",
+         dict(corr_implementation="alt_cuda"),
+         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 1e-2),
+        ("geo_lookup", "igev_reg_cuda_vs_reg",
+         dict(corr_implementation="reg_cuda"),
+         dict(corr_implementation="reg"), "IGEVStereo", 8, 1e-2),
+        ("row_sample", "pcv_reg_cuda_vs_reg",
+         dict(corr_implementation="reg_cuda"),
+         dict(corr_implementation="reg"), "PCVNet", 8, 1e-2),
+    ]
+    for kernel, case, cfg_pl, cfg_ref, model, iters, bound in cases:
+        try:
+            a = model_disp(model, iters, **cfg_pl)
+            b = model_disp(model, iters, **cfg_ref)
+            record(kernel, case, _maxabs(a, b), bound,
+                   {"model": model, "iters": iters, "disp_scale":
+                    float(np.abs(b).max())})
+        except Exception as e:
+            rows.append({"kernel": kernel, "case": case, "error": str(e)[:300], "ok": False})
+            print(json.dumps(rows[-1]), flush=True)
+
+    out = {
+        "protocol": "compiled (Mosaic) Pallas kernels vs XLA reference ops, "
+                    "fwd + custom-VJP, fp32, eval geometry 184x320 (1/4 of "
+                    "736x1280) + Middlebury-F 496x720 chunked path + "
+                    "full-frame model-level pins",
+        "device": str(jax.devices()[0]),
+        "results": rows,
+        "all_ok": all(r.get("ok") for r in rows),
+        "wall_s": round(time.perf_counter() - t_all, 1),
+    }
+    with open("KERNELS_r03.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"all_ok": out["all_ok"], "n": len(rows)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
