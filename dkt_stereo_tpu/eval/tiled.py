@@ -42,16 +42,17 @@ def banded_forward_exact(
       - image top/bottom edges: exact (windows are clamped to the image, so
         the first/last band's tensor edge IS the image edge and conv SAME
         padding behaves identically);
-      - interior band boundaries: exact up to the network's receptive field
-        — residual error decays with distance from the window edge and is
-        bounded by choosing ``halo`` ≥ the encoder receptive field
-        (tests/test_parallel.py pins the measured bound). Measured on RAFT
-        at random init (the adversarial case — untrained weights amplify
-        boundary perturbations): n_gru_layers=1 (1/4-scale context) is
-        fp-exact at halo=64 (max 8.6e-4 on a 39 px scale, halo-independent);
-        the 3-level config's 1/16-scale context branch spans hundreds of
-        input rows of receptive field, giving ~4.6% peak error AT the band
-        boundary decaying to fp noise ~190 rows away.
+      - interior band boundaries: exact to fp noise PROVIDED each segment of
+        conv reach between halo exchanges stays under the halo
+        (nn/norms.py::band_refresh swaps halo rows between neighbor bands
+        after each encoder stage and each GRU iteration — windows overlap by
+        2·halo, so a neighbor's copy of the same global row is exact there).
+        Measured on RAFT at random init (the adversarial case — untrained
+        weights amplify boundary perturbations): the shipped 3-GRU-layer
+        config (configs/raft_stereo/base.json, 1/16-scale context branch)
+        is < 1e-3 max-abs at halo=128 (tests/test_parallel.py pins it);
+        without the exchange the same config saw ~4.6% peak boundary error.
+        n_gru_layers=1 remains fp-exact at halo=64.
 
     ``model`` must be built with ``pallas_encoder=False`` (the fused encoder
     computes IN inside its kernel and would bypass the cross-band stats) —
@@ -134,7 +135,7 @@ def banded_forward_exact(
     # the context must be live when the cached fn TRACES (its first call);
     # the banded-stats trace is keyed separately from any unbanded jit of
     # the same model, so the cache cannot leak a non-banded trace in
-    with cross_band_stats(axis, th, halo, band_h, fh):
+    with cross_band_stats(axis, th, halo, band_h, fh, n_bands):
         disp = np.asarray(_EXACT_JIT_CACHE[key](params, da, db))  # (n_bands, th, Wp)
 
     out = np.zeros((fh, a.shape[1]), np.float32)

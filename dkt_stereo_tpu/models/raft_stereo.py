@@ -176,6 +176,14 @@ class _IterStep(nn.Module):
         # stereo: epipolar projection — only the x component of delta survives
         coords1x = coords1x + delta[..., 0:1].astype(jnp.float32)
 
+        # exact banded eval (no-op otherwise): refresh the carried state's
+        # halo rows every iteration so GRU contamination never accumulates
+        # across the 32-iteration loop (nn/norms.py::band_refresh)
+        from dkt_stereo_tpu.nn.norms import band_refresh
+
+        net = tuple(band_refresh(h) for h in net)
+        coords1x = band_refresh(coords1x)
+
         new_carry = (net, coords1x, up_mask)
         if self.collect_up:
             disp_up = convex_upsample(

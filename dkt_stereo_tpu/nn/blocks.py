@@ -13,7 +13,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dkt_stereo_tpu.nn.norms import Norm
+from dkt_stereo_tpu.nn.norms import Norm, band_refresh
 
 # torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -338,8 +338,14 @@ class BasicEncoder(nn.Module):
             x = Norm(self.norm_fn, 8, ura, self.dtype, name="norm1")(x)
             x = nn.relu(x)
             x = _res_pair(64, 64, self.norm_fn, 1, ura, self.dtype, "layer1")(x)
+        # band_refresh: no-ops everywhere except exact banded eval
+        # (eval/tiled.py), where it exchanges halo rows between bands so
+        # cross-band conv contamination never accumulates past the halo
+        x = band_refresh(x)
         x = _res_pair(64, 96, self.norm_fn, 1 + (d > 1), ura, self.dtype, "layer2")(x)
+        x = band_refresh(x)
         x = _res_pair(96, 128, self.norm_fn, 1 + (d > 0), ura, self.dtype, "layer3")(x)
+        x = band_refresh(x)
         x = conv(self.output_dim, 1, 1, 0, self.dtype, name="conv2")(x)
         return x
 
@@ -405,8 +411,11 @@ class MultiBasicEncoder(nn.Module):
             x = Norm(self.norm_fn, 8, ura, dt, name="norm1")(x)
             x = nn.relu(x)
             x = _res_pair(64, 64, self.norm_fn, 1, ura, dt, "layer1")(x)
+        x = band_refresh(x)  # exact banded eval only; no-op otherwise
         x = _res_pair(64, 96, self.norm_fn, 1 + (d > 1), ura, dt, "layer2")(x)
+        x = band_refresh(x)
         x = _res_pair(96, 128, self.norm_fn, 1 + (d > 0), ura, dt, "layer3")(x)
+        x = band_refresh(x)
 
         v = None
         if dual_inp:
@@ -420,7 +429,7 @@ class MultiBasicEncoder(nn.Module):
         if self.num_layers == 1:
             return (outputs08, v) if dual_inp else (outputs08,)
 
-        y = _res_pair(128, 128, self.norm_fn, 2, ura, dt, "layer4")(x)
+        y = band_refresh(_res_pair(128, 128, self.norm_fn, 2, ura, dt, "layer4")(x))
         outputs16 = [
             _ConvOut(dim[1], self.norm_fn, ura, dt, name=f"outputs16_{i}")(y)
             for i, dim in enumerate(self.output_dim)
@@ -428,7 +437,11 @@ class MultiBasicEncoder(nn.Module):
         if self.num_layers == 2:
             return (outputs08, outputs16, v) if dual_inp else (outputs08, outputs16)
 
-        z = _res_pair(128, 128, self.norm_fn, 2, ura, dt, "layer5")(y)
+        # layer5 (the 1/16-scale branch, stride 16 per conv row) is what
+        # breaks banded exactness without refresh: its receptive reach in
+        # input rows exceeds any practical halo (the round-2 ~4.6% boundary
+        # error). The exchange here resets contamination before the heads.
+        z = band_refresh(_res_pair(128, 128, self.norm_fn, 2, ura, dt, "layer5")(y))
         outputs32 = [
             conv(dim[0], 3, 1, 1, dt, name=f"outputs32_{i}")(z)
             for i, dim in enumerate(self.output_dim)

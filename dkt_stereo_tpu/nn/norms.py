@@ -34,16 +34,80 @@ _BAND_STATS: Optional[dict] = None
 
 
 @contextlib.contextmanager
-def cross_band_stats(axis_name: str, tensor_h: int, halo: int, band_h: int, full_h: int):
+def cross_band_stats(axis_name: str, tensor_h: int, halo: int, band_h: int,
+                     full_h: int, n_bands: int = 0):
     """All heights at stride 1 (input resolution) and multiples of 32 so the
-    interior row ranges stay integral at every encoder stride."""
+    interior row ranges stay integral at every encoder stride. ``n_bands``
+    (the static band-axis size) enables :func:`band_refresh` halo exchange."""
     global _BAND_STATS
     prev = _BAND_STATS
-    _BAND_STATS = dict(axis=axis_name, th=tensor_h, halo=halo, bh=band_h, fh=full_h)
+    _BAND_STATS = dict(
+        axis=axis_name, th=tensor_h, halo=halo, bh=band_h, fh=full_h, n=n_bands
+    )
     try:
         yield
     finally:
         _BAND_STATS = prev
+
+
+def band_refresh(x):
+    """Halo exchange for exact banded eval: replace each band's top/bottom
+    ``halo`` rows with the neighbors' EXACT values for the same global rows
+    (``jax.lax.ppermute`` along the band axis), resetting cross-band conv
+    contamination to zero.
+
+    Why this makes banding exact: band windows overlap by 2·halo rows
+    (eval/tiled.py window geometry), so every halo row of band k is an
+    interior-adjacent row of a neighbor, at distance ≥ min(band_h, halo)
+    from that neighbor's window edge. As long as the cumulative conv
+    receptive reach since the previous refresh is below that distance, the
+    received rows are bit-identical to the full-image computation — calling
+    this between encoder stages (nn/blocks.py) and once per GRU iteration
+    (models/raft_stereo.py) keeps every segment's reach ≤ halo and makes
+    the 3-GRU-layer config's banded output match the unbanded forward to fp
+    noise (tests/test_parallel.py pins < 1e-3 at halo=128, the bound the
+    1/16-scale context branch previously broke at ~4.6%).
+
+    No-op outside the banded context (``_BAND_STATS is None``), when the
+    image collapsed to a single band (halo == 0), or when the tensor is too
+    short to carry a halo margin. Works for any (B, H_band, W, C) tensor
+    whose stride divides the context heights (all multiples of 32)."""
+    ctx = _BAND_STATS
+    if ctx is None or ctx["halo"] == 0 or ctx.get("n", 0) <= 1 or x.ndim != 4:
+        return x
+    axis, th, halo, bh, fh, n = (
+        ctx["axis"], ctx["th"], ctx["halo"], ctx["bh"], ctx["fh"], ctx["n"]
+    )
+    h = x.shape[1]
+    if th % h:
+        return x  # not a band-height tensor (e.g. pooled to odd size)
+    s = th // h
+    hs = halo // s
+    if hs < 1 or h < 2 * hs + 1:
+        return x
+
+    k = jax.lax.axis_index(axis)
+
+    def win0(i):
+        return jnp.clip(i * bh - halo, 0, fh - th)
+
+    w_k = win0(k)
+    # rows the LOWER neighbor needs for its top halo: global
+    # [win0(k+1), win0(k+1)+halo) at local offset (win0(k+1) − win0(k))/s
+    send_down_off = jnp.clip((win0(k + 1) - w_k) // s, 0, h - hs)
+    down = jax.lax.dynamic_slice_in_dim(x, send_down_off, hs, axis=1)
+    recv_top = jax.lax.ppermute(down, axis, [(i, i + 1) for i in range(n - 1)])
+    # rows the UPPER neighbor needs for its bottom halo: global
+    # [win0(k−1)+th−halo, win0(k−1)+th) at local (…−win0(k))/s
+    send_up_off = jnp.clip((win0(k - 1) + th - halo - w_k) // s, 0, h - hs)
+    up = jax.lax.dynamic_slice_in_dim(x, send_up_off, hs, axis=1)
+    recv_bot = jax.lax.ppermute(up, axis, [(i, i - 1) for i in range(1, n)])
+
+    # band 0's top / band n−1's bottom edges ARE the image edges — exact
+    # SAME-padding behavior, keep the local rows there
+    top = jnp.where(k > 0, recv_top, x[:, :hs])
+    bot = jnp.where(k < n - 1, recv_bot, x[:, h - hs:])
+    return jnp.concatenate([top, x[:, hs : h - hs], bot], axis=1)
 
 
 def _banded_instance_stats(x, ctx, epsilon):

@@ -81,9 +81,14 @@ def _bwd_kernel(coords_ref, g_ref, *dvol_refs, radius: int, num_levels: int):
 # one grid program's volume blocks must fit VMEM (with Mosaic's double
 # buffering + fp32 tap temps): cap R·W1c·ΣW2 elements per program.
 # Empirically 2.07M elems (Middlebury-F level-1 full-row) measures 16.3M
-# scoped VMEM; 1.7M keeps headroom while the 736×1280 eval protocol
-# (1.54M) stays on the single-call fast path.
-_VMEM_ELEMS = 1_700_000
+# scoped VMEM; 3.4MB keeps headroom while the 736×1280 eval protocol's
+# bf16 pyramid (3.1MB) stays on the single-call fast path. Budgeted in
+# BYTES, not elements: an fp32 pyramid at the same geometry needs 2x the
+# VMEM and must route to the chunked path (an element-count budget let it
+# through and Mosaic's 16MB scoped-vmem allocator rejected the kernel —
+# caught by scripts/validate_kernels.py on-chip, invisible in interpret
+# mode).
+_VMEM_BYTES = 3_400_000
 
 
 def _fwd_kernel_level(coords_ref, vol_ref, out_ref, *, radius, level):
@@ -119,7 +124,7 @@ def _lookup_fwd_chunked(pyramid, coords, radius, interpret):
     outs = []
     for level, v in enumerate(pyramid):
         W2 = v.shape[-1]
-        limit = max(128, _VMEM_ELEMS // (R * W2) // 128 * 128)
+        limit = max(128, _VMEM_BYTES // v.dtype.itemsize // (R * W2) // 128 * 128)
         W1p, W1c = _pick_cols(W1, limit)
         c2 = coords2
         vol = v.reshape(G, W1, W2)
@@ -180,7 +185,7 @@ def _lookup_bwd_chunked(pyramid_shapes, coords, g, radius, interpret):
     dvols = []
     for level, s in enumerate(pyramid_shapes):
         W2 = s.shape[-1]
-        limit = max(128, _VMEM_ELEMS // (R * W2) // 128 * 128)
+        limit = max(128, _VMEM_BYTES // s.dtype.itemsize // (R * W2) // 128 * 128)
         W1p, W1c = _pick_cols(W1, limit)
         c2 = coords2
         gl = g2[..., level * taps : (level + 1) * taps]
@@ -212,7 +217,7 @@ def _lookup_fwd_impl(pyramid, coords, radius, interpret):
     R = _pick_rows(G)
     taps = 2 * radius + 1
 
-    if R * W1 * sum(v.shape[-1] for v in pyramid) > _VMEM_ELEMS:
+    if R * W1 * sum(v.shape[-1] * v.dtype.itemsize for v in pyramid) > _VMEM_BYTES:
         return _lookup_fwd_chunked(pyramid, coords, radius, interpret)
 
     coords2 = coords.reshape(G, W1)
@@ -243,7 +248,7 @@ def _lookup_bwd_impl(pyramid_shapes, coords, g, radius, interpret):
     R = _pick_rows(G)
     taps = 2 * radius + 1
 
-    if R * W1 * sum(s.shape[-1] for s in pyramid_shapes) > _VMEM_ELEMS:
+    if R * W1 * sum(s.shape[-1] * s.dtype.itemsize for s in pyramid_shapes) > _VMEM_BYTES:
         return _lookup_bwd_chunked(pyramid_shapes, coords, g, radius, interpret)
 
     coords2 = coords.reshape(G, W1)

@@ -37,12 +37,55 @@ def _linear_interp_matrix(dst: int, src: int, dtype=np.float32) -> np.ndarray:
     return m
 
 
+def _interp_rows_banded(x, Ho, ctx):
+    """align_corners row interpolation under exact banded eval: the
+    full-image grid positions restricted to this band's rows.
+
+    align_corners maps output row o → o·(Hin−1)/(Hout−1) where Hin/Hout are
+    the WHOLE image's heights — a height-dependent, non-band-local map, so
+    applying the per-band matrix would diverge from the full-image forward
+    everywhere (not just at band edges). Here global row indices come from
+    the band's window offset (traced via the band axis index) and the
+    gather stays inside the band because the ×2 cross-scale exchanges move
+    source positions by well under the halo."""
+    th, halo, bh, fh = ctx["th"], ctx["halo"], ctx["bh"], ctx["fh"]
+    H = x.shape[1]
+    s_in, s_out = th // H, th // Ho
+    k = jax.lax.axis_index(ctx["axis"])
+    win0 = jnp.clip(k * bh - halo, 0, fh - th)
+    hin_g, hout_g = fh // s_in, fh // s_out
+    o = jnp.arange(Ho, dtype=jnp.float32) + (win0 // s_out).astype(jnp.float32)
+    p = o * (hin_g - 1) / max(hout_g - 1, 1) - (win0 // s_in).astype(jnp.float32)
+    p0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, H - 2)
+    w = (p - p0.astype(jnp.float32)).astype(x.dtype)[None, :, None, None]
+    lo = jnp.take(x, p0, axis=1)
+    hi_ = jnp.take(x, p0 + 1, axis=1)
+    return lo * (1 - w) + hi_ * w
+
+
 def interp_bilinear_align(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Bilinear align_corners=True resize of NHWC ``x`` to (Ho, Wo)."""
+    from dkt_stereo_tpu.nn import norms as _norms
+
     _, H, W, _ = x.shape
     Ho, Wo = out_hw
     if (Ho, Wo) == (H, W):
         return x
+    ctx = _norms._BAND_STATS
+    if (
+        ctx is not None
+        and H != Ho
+        and ctx["th"] % H == 0
+        and ctx["th"] % Ho == 0
+        and ctx["fh"] % (ctx["th"] // H) == 0
+        and ctx["fh"] % (ctx["th"] // Ho) == 0
+    ):
+        x = _interp_rows_banded(x, Ho, ctx)
+        if Wo == W:
+            return x
+        C = jnp.asarray(_linear_interp_matrix(Wo, W))
+        hi = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        return jnp.einsum("pw,bowc->bopc", C.astype(x.dtype), x, precision=hi)
     R = jnp.asarray(_linear_interp_matrix(Ho, H))
     C = jnp.asarray(_linear_interp_matrix(Wo, W))
     # (B,H,W,C) -> rows: contract H with R^T -> (B,Ho,W,C)

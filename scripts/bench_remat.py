@@ -12,7 +12,7 @@ train/dkt_step.py) at the reference's training geometry (batch 8 crop
 320×704 per chip, train_iters 16 / teacher 32) for remat off/on and reports
 XLA's compile-time ``memory_analysis()`` — peak temp allocation is exactly
 the quantity remat trades — plus one executed step each way for a wall-clock
-cost number. Writes REMAT_r02.json. Run on the real chip: nohup + poll
+cost number. Writes REMAT_r03.json. Run on the real chip: nohup + poll
 (compiles are minutes on axon).
 """
 
@@ -107,9 +107,9 @@ def main():
         t_on, t_off = results[0]["temp_bytes"], results[1]["temp_bytes"]
         print(f"smoke: temp bytes remat on/off = {t_on}/{t_off}")
         return
-    with open("REMAT_r02.json", "w") as f:
+    with open("REMAT_r03.json", "w") as f:
         json.dump(results, f, indent=1)
-    print("wrote REMAT_r02.json", flush=True)
+    print("wrote REMAT_r03.json", flush=True)
 
 
 if __name__ == "__main__":

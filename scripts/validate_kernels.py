@@ -41,7 +41,7 @@ def main():
     from dkt_stereo_tpu.ops.geometry import CombinedGeoEncodingVolume
     from dkt_stereo_tpu.ops.pallas import corr_lookup_pallas
     from dkt_stereo_tpu.ops.pallas.corr_alt import corr_lookup_alt_pallas
-    from dkt_stereo_tpu.ops.pallas.corr_lookup import _VMEM_ELEMS, _pick_rows
+    from dkt_stereo_tpu.ops.pallas.corr_lookup import _VMEM_BYTES, _pick_rows
     from dkt_stereo_tpu.ops.pallas.geo_lookup import geo_lookup_pallas
     from dkt_stereo_tpu.ops.pallas.row_sample import row_sample_pallas
     from dkt_stereo_tpu.ops.sampler import sample_row_1d
@@ -69,7 +69,7 @@ def main():
     coords = jnp.asarray(rng.uniform(-2, W + 2, (B, H, W, 1)).astype(np.float32))
     vol = corr_volume(f1, f2)
     pyr = tuple(corr_pyramid(vol, 4))
-    direct = _pick_rows(B * H) * W * sum(v.shape[-1] for v in pyr) <= _VMEM_ELEMS
+    direct = _pick_rows(B * H) * W * sum(v.shape[-1] * v.dtype.itemsize for v in pyr) <= _VMEM_BYTES
     want = np.asarray(jax.jit(lambda p, c: corr_lookup(list(p), c, 4))(pyr, coords))
     t0 = time.perf_counter()
     got = np.asarray(jax.jit(lambda p, c: corr_lookup_pallas(p, c, 4))(pyr, coords))
@@ -94,7 +94,7 @@ def main():
     cm = jnp.asarray(rng.uniform(-2, Wm + 2, (Bm, Hm, Wm, 1)).astype(np.float32))
     volm = corr_volume(f1m, f2m)
     pyrm = tuple(corr_pyramid(volm, 4))
-    chunked = _pick_rows(Bm * Hm) * Wm * sum(v.shape[-1] for v in pyrm) > _VMEM_ELEMS
+    chunked = _pick_rows(Bm * Hm) * Wm * sum(v.shape[-1] * v.dtype.itemsize for v in pyrm) > _VMEM_BYTES
     want = np.asarray(jax.jit(lambda p, c: corr_lookup(list(p), c, 4))(pyrm, cm))
     got = np.asarray(jax.jit(lambda p, c: corr_lookup_pallas(p, c, 4))(pyrm, cm))
     record("corr_lookup", "fwd_middF_496x720", _maxabs(got, want), 1e-4,

@@ -179,7 +179,7 @@ def test_pallas_lookup_chunked_large_width(rng):
 
     pyr, coords = _setup(rng, B=1, H=8, W=576, D=8)
     G, W1 = 8, 576
-    assert m._pick_rows(G) * W1 * sum(v.shape[-1] for v in pyr) > m._VMEM_ELEMS
+    assert m._pick_rows(G) * W1 * sum(v.shape[-1] * v.dtype.itemsize for v in pyr) > m._VMEM_BYTES
     want = np.asarray(corr_lookup(list(pyr), coords, 4))
     got = np.asarray(corr_lookup_pallas(pyr, coords, 4, True))
     np.testing.assert_allclose(got, want, atol=1e-4)
@@ -196,7 +196,7 @@ def test_pallas_lookup_chunked_backward(rng):
 
     pyr, coords = _setup(rng, B=1, H=8, W=576, D=8)
     G, W1 = 8, 576
-    assert m._pick_rows(G) * W1 * sum(v.shape[-1] for v in pyr) > m._VMEM_ELEMS
+    assert m._pick_rows(G) * W1 * sum(v.shape[-1] * v.dtype.itemsize for v in pyr) > m._VMEM_BYTES
 
     def loss_pallas(p):
         return (corr_lookup_pallas(p, coords, 4, True) ** 2).sum()
