@@ -185,7 +185,12 @@ def _lookup_bwd_chunked(pyramid_shapes, coords, g, radius, interpret):
     dvols = []
     for level, s in enumerate(pyramid_shapes):
         W2 = s.shape[-1]
-        limit = max(128, _VMEM_BYTES // s.dtype.itemsize // (R * W2) // 128 * 128)
+        # half the forward's budget: the backward kernel's unrolled
+        # row×tap loop keeps more fp32 temps live, and Mosaic lane-pads W2
+        # to 128 multiples — at the forward's chunk size it exceeded the
+        # 16MB scoped-vmem stack by ~2% at Middlebury-F fp32 (caught by
+        # scripts/validate_kernels.py on the chip)
+        limit = max(128, _VMEM_BYTES // 2 // s.dtype.itemsize // (R * W2) // 128 * 128)
         W1p, W1c = _pick_cols(W1, limit)
         c2 = coords2
         gl = g2[..., level * taps : (level + 1) * taps]

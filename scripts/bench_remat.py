@@ -54,17 +54,23 @@ def measure(name: str, remat: bool, B, H, W, results: list):
         cfg, hyper, model_cls=model_cls, loss_adapter=make_loss_adapter(name, cfg)
     )
 
-    lowered = step_fn.lower(state, batch, jax.random.PRNGKey(1))
-    compiled = lowered.compile()
+    rec = {"model": name, "remat": remat, "geometry": [B, H, W]}
+    try:
+        lowered = step_fn.lower(state, batch, jax.random.PRNGKey(1))
+        compiled = lowered.compile()
+    except Exception as e:
+        # a compile-time HBM OOM without remat at the reference training
+        # geometry IS the finding: the step does not fit on one chip at all
+        rec["compile_error"] = f"{type(e).__name__}: {e}"[:400]
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        return
     mem = compiled.memory_analysis()
-    rec = {
-        "model": name,
-        "remat": remat,
-        "geometry": [B, H, W],
-        "temp_bytes": int(getattr(mem, "temp_size_in_bytes", -1)),
-        "argument_bytes": int(getattr(mem, "argument_size_in_bytes", -1)),
-        "output_bytes": int(getattr(mem, "output_size_in_bytes", -1)),
-    }
+    rec.update(
+        temp_bytes=int(getattr(mem, "temp_size_in_bytes", -1)),
+        argument_bytes=int(getattr(mem, "argument_size_in_bytes", -1)),
+        output_bytes=int(getattr(mem, "output_size_in_bytes", -1)),
+    )
 
     try:
         new_state, metrics = compiled(state, batch, jax.random.PRNGKey(1))
