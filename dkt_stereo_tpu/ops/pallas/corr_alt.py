@@ -61,6 +61,14 @@ def _alt_fwd_kernel(coords_ref, f1_ref, f2t_ref, out_ref, *, radius, level, inv_
     R, W1c = coords_ref.shape
     taps = 2 * radius + 1
 
+    # fp32-correlation policy (ops/corr.py::corr_volume precision note):
+    # fp32 features must run the MXU at HIGHEST — the default pass rounds
+    # fp32 operands to bf16, a ~4e-3 relative divergence vs the XLA path
+    # (measured 1.0e-2 abs at eval geometry by scripts/validate_kernels.py
+    # on-chip; invisible in interpret mode). bf16 features keep the native
+    # single-pass bf16×bf16→fp32 path, identical to the XLA einsum.
+    prec = jax.lax.Precision.HIGHEST if f1_ref.dtype == jnp.float32 else None
+
     for r in range(R):  # per-row: the (W1c, W2) volume block is VMEM-only
         f1r = f1_ref[r]  # (W1c, D)
         f2t = f2t_ref[r]  # (D, W2)
@@ -70,6 +78,7 @@ def _alt_fwd_kernel(coords_ref, f1_ref, f2t_ref, out_ref, *, radius, level, inv_
                 f2t,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
             * inv_sqrt_d
         )  # (W1c, W2) fp32 — never written to HBM

@@ -13,8 +13,16 @@ Mosaic-shaped design notes (each constraint was hit in practice):
     and (W1, D, C) are unsupported, so tap weights use flattened d-indices
     (iota // C) and the per-channel reduction / layout permutation are
     constant one-hot matmuls;
-  - one pallas_call **per level** keeps the scoped VMEM under the 16MB limit
-    at eval sizes (all levels at once needs ~25MB with double buffering).
+  - one pallas_call **per level**, with W1 additionally chunked into
+    128-multiple blocks under a byte budget (`_VMEM_BYTES`): at IGEV eval
+    geometry (184×320, D=48) the unchunked level-0 blocks cost
+    8·320·(384+320)·4·2(double-buffer) ≈ 19MB and Mosaic's 16MB scoped-VMEM
+    allocator rejects the kernel — caught compiled-on-chip by
+    scripts/validate_kernels.py, invisible in interpret mode;
+  - the one-hot matmuls run at Precision.HIGHEST: the operands are fp32
+    values (not just 0/1 selectors on one side), and the MXU default rounds
+    fp32 operands to bf16 — ~4e-3 relative error vs the XLA path's
+    fp32-correlation policy (ops/corr.py precision note).
 
 VJP returns gradients for both pyramids (disp/coords are detached each
 iteration, igev_stereo.py:201).
@@ -29,7 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dkt_stereo_tpu.ops.pallas.corr_alt import _pick_cols
 from dkt_stereo_tpu.ops.pallas.corr_lookup import _pick_rows
+
+# Per-program budget for the big (R, W1c, DC) + (R, W1c, W2) input blocks,
+# in BYTES (same rationale as corr_lookup._VMEM_BYTES: double buffering +
+# in-kernel fp32 temps must stay under Mosaic's 16MB scoped-VMEM stack).
+_VMEM_BYTES = 3_400_000
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _perm_kc_to_ck(taps: int, C: int) -> jnp.ndarray:
@@ -60,9 +76,13 @@ def _fwd_level_kernel(disp_ref, coords_ref, geo_ref, corr_ref, out_ref,
         for k in range(taps):
             pos = x[:, None] + (k - radius)
             w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)
-            geo_taps.append(jnp.dot(geo_flat * w, sel, preferred_element_type=jnp.float32))
+            geo_taps.append(
+                jnp.dot(geo_flat * w, sel, preferred_element_type=jnp.float32,
+                        precision=_HI)
+            )
         g_km = jnp.concatenate(geo_taps, axis=-1)  # k-major (W1, taps*C)
-        g = jnp.dot(g_km, _perm_kc_to_ck(taps, C), preferred_element_type=jnp.float32)
+        g = jnp.dot(g_km, _perm_kc_to_ck(taps, C),
+                    preferred_element_type=jnp.float32, precision=_HI)
 
         corr = corr_ref[r].astype(jnp.float32)  # (W1, W2)
         W2 = corr.shape[-1]
@@ -77,14 +97,22 @@ def _fwd_level_kernel(disp_ref, coords_ref, geo_ref, corr_ref, out_ref,
         out_ref[r] = jnp.concatenate([g, c], axis=-1)
 
 
-def _bwd_level_kernel(disp_ref, coords_ref, g_ref, dgeo_ref, dcorr_ref,
-                      radius: int, level: int, C: int):
-    R, W1 = disp_ref.shape
+def _bwd_geo_kernel(disp_ref, g_ref, dgeo_ref, radius: int, level: int, C: int):
+    """dgeo half of the backward. Two Mosaic scoped-VMEM lessons are baked
+    into its shape (both caught compiled-on-chip; invisible in interpret
+    mode): (1) a combined dgeo+dcorr kernel kept both fp32 accumulators plus
+    the unrolled tap-weight temps live at once — 18.2MB of stack at IGEV
+    eval geometry; (2) even split, 8 unrolled row iterations held ~2.1MB of
+    (W1c, DC) temps EACH (16.9MB) — so the backward runs R=2 row blocks,
+    with disp/coords passed as (G, W1, 1) 3-D arrays whose lane dim of 1
+    hits the full-dim exception, freeing the leading dim from the 2-D
+    block's 8-sublane divisibility rule."""
+    R, W1, _ = disp_ref.shape
     taps = 2 * radius + 1
     scale = 1.0 / (2**level)
 
     for r in range(R):
-        g_all = g_ref[r].astype(jnp.float32)  # (W1, C*taps+taps)
+        g_all = g_ref[r].astype(jnp.float32)  # (W1, C*taps)
         DC = dgeo_ref.shape[-1]
         jflat = jax.lax.broadcasted_iota(jnp.int32, (1, DC), 1)
         jd = (jflat // C).astype(jnp.float32)
@@ -92,23 +120,36 @@ def _bwd_level_kernel(disp_ref, coords_ref, g_ref, dgeo_ref, dcorr_ref,
             jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0][:, None]
             == (jflat % C)[0][None, :]
         ).astype(jnp.float32)  # (C, DC)
-        x = disp_ref[r].astype(jnp.float32) * scale
+        x = disp_ref[r, :, 0].astype(jnp.float32) * scale
         g_km = jnp.dot(
-            g_all[:, : C * taps], _perm_kc_to_ck(taps, C).T,
-            preferred_element_type=jnp.float32,
+            g_all, _perm_kc_to_ck(taps, C).T,
+            preferred_element_type=jnp.float32, precision=_HI,
         )  # (W1, taps*C) k-major
         acc = jnp.zeros((W1, DC), jnp.float32)
         for k in range(taps):
             pos = x[:, None] + (k - radius)
             w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)
             g_k = g_km[:, k * C : (k + 1) * C]
-            acc = acc + w * jnp.dot(g_k, selT, preferred_element_type=jnp.float32)
+            acc = acc + w * jnp.dot(
+                g_k, selT, preferred_element_type=jnp.float32, precision=_HI
+            )
         dgeo_ref[r] = acc.astype(dgeo_ref.dtype)
 
+
+def _bwd_corr_kernel(disp_ref, coords_ref, g_ref, dcorr_ref,
+                     radius: int, level: int):
+    R, W1, _ = disp_ref.shape
+    taps = 2 * radius + 1
+    scale = 1.0 / (2**level)
+
+    for r in range(R):
+        g_corr = g_ref[r].astype(jnp.float32)  # (W1, taps)
         W2 = dcorr_ref.shape[-1]
         jc = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
-        xc = (coords_ref[r].astype(jnp.float32) - disp_ref[r].astype(jnp.float32)) * scale
-        g_corr = g_all[:, C * taps :]  # (W1, taps)
+        xc = (
+            coords_ref[r, :, 0].astype(jnp.float32)
+            - disp_ref[r, :, 0].astype(jnp.float32)
+        ) * scale
         acc_c = jnp.zeros((W1, W2), jnp.float32)
         for k in range(taps):
             pos = xc[:, None] + (k - radius)
@@ -124,30 +165,45 @@ def _geo_fwd_impl(geo_pyr, corr_pyr, disp, coords, radius, interpret):
     R = _pick_rows(G)
     taps = 2 * radius + 1
 
+    per_level = C * taps + taps
     disp2 = disp.reshape(G, W1)
     coords2 = coords.reshape(G, W1)
     outs = []
     for i in range(L):
-        geo = geo_pyr[i].reshape(G, W1, geo_pyr[i].shape[3] * C)
-        corr = corr_pyr[i].reshape(G, W1, corr_pyr[i].shape[-1])
+        DC = geo_pyr[i].shape[3] * C
+        W2 = corr_pyr[i].shape[-1]
+        geo = geo_pyr[i].reshape(G, W1, DC)
+        corr = corr_pyr[i].reshape(G, W1, W2)
+        itemsize = max(geo.dtype.itemsize, corr.dtype.itemsize)
+        limit = max(128, _VMEM_BYTES // (R * (DC + W2) * itemsize) // 128 * 128)
+        W1p, W1c = _pick_cols(W1, limit)
+        d2, c2 = disp2, coords2
+        if W1p != W1:
+            # pad disp → +1e9 / coords → −1e9: both tap positions land far
+            # outside [0, DC) and [0, W2) so every relu weight vanishes and
+            # the padded columns contribute exact zeros (sliced off below)
+            d2 = jnp.pad(disp2, ((0, 0), (0, W1p - W1)), constant_values=1e9)
+            c2 = jnp.pad(coords2, ((0, 0), (0, W1p - W1)), constant_values=-1e9)
+            geo = jnp.pad(geo, ((0, 0), (0, W1p - W1), (0, 0)))
+            corr = jnp.pad(corr, ((0, 0), (0, W1p - W1), (0, 0)))
         kernel = functools.partial(_fwd_level_kernel, radius=radius, level=i, C=C)
         out = pl.pallas_call(
             kernel,
-            grid=(G // R,),
+            grid=(G // R, W1p // W1c),
             in_specs=[
-                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, W1, geo.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, W1, corr.shape[-1]), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1c), lambda g, c: (g, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1c), lambda g, c: (g, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1c, DC), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, W1c, W2), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (R, W1, C * taps + taps), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                (R, W1c, per_level), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((G, W1, C * taps + taps), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((G, W1p, per_level), jnp.float32),
             interpret=interpret,
-        )(disp2, coords2, geo, corr)
-        outs.append(out)
-    return jnp.concatenate(outs, axis=-1).reshape(B, H, W1, L * (C + 1) * taps)
+        )(d2, c2, geo, corr)
+        outs.append(out[:, :W1])
+    return jnp.concatenate(outs, axis=-1).reshape(B, H, W1, L * per_level)
 
 
 def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
@@ -162,32 +218,63 @@ def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
     coords2 = coords.reshape(G, W1)
     g2 = g.reshape(G, W1, L * per_level)
 
+    # R=2 row blocks: each unrolled row iteration holds ~2MB of (W1c, DC)
+    # fp32 temps on the Mosaic stack; 8 rows exceeded the 16MB scoped limit
+    # (see _bwd_geo_kernel docstring). The 3-D (G, W1p, 1) disp/coords form
+    # is what legalizes a non-multiple-of-8 leading dim.
+    Rb = 2 if G % 2 == 0 else 1
+
     dgeos, dcorrs = [], []
     for i in range(L):
         DC = geo_shapes[i].shape[3] * C
         W2 = corr_shapes[i].shape[-1]
         g_lvl = g2[..., i * per_level : (i + 1) * per_level]
-        kernel = functools.partial(_bwd_level_kernel, radius=radius, level=i, C=C)
-        dgeo, dcorr = pl.pallas_call(
-            kernel,
-            grid=(G // R,),
+
+        # --- dgeo half -----------------------------------------------------
+        itemsize = jnp.dtype(geo_shapes[i].dtype).itemsize
+        limit = max(128, _VMEM_BYTES // 2 // (Rb * (DC + C * taps) * itemsize) // 128 * 128)
+        W1p, W1c = _pick_cols(W1, limit)
+        d2 = disp2
+        g_geo = g_lvl[..., : C * taps]
+        if W1p != W1:
+            d2 = jnp.pad(disp2, ((0, 0), (0, W1p - W1)), constant_values=1e9)
+            g_geo = jnp.pad(g_geo, ((0, 0), (0, W1p - W1), (0, 0)))
+        dgeo = pl.pallas_call(
+            functools.partial(_bwd_geo_kernel, radius=radius, level=i, C=C),
+            grid=(G // Rb, W1p // W1c),
             in_specs=[
-                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, W1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, W1, per_level), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rb, W1c, 1), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rb, W1c, C * taps), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((R, W1, DC), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, W1, W2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((G, W1, DC), geo_shapes[i].dtype),
-                jax.ShapeDtypeStruct((G, W1, W2), corr_shapes[i].dtype),
-            ],
+            out_specs=pl.BlockSpec((Rb, W1c, DC), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, W1p, DC), geo_shapes[i].dtype),
             interpret=interpret,
-        )(disp2, coords2, g_lvl)
-        dgeos.append(dgeo.reshape(geo_shapes[i].shape))
-        dcorrs.append(dcorr.reshape(corr_shapes[i].shape))
+        )(d2[..., None], g_geo)
+        dgeos.append(dgeo[:, :W1].reshape(geo_shapes[i].shape))
+
+        # --- dcorr half ----------------------------------------------------
+        itemsize = jnp.dtype(corr_shapes[i].dtype).itemsize
+        limit = max(128, _VMEM_BYTES // 2 // (Rb * (W2 + taps) * itemsize) // 128 * 128)
+        W1p, W1c = _pick_cols(W1, limit)
+        d2, c2 = disp2, coords2
+        g_corr = g_lvl[..., C * taps :]
+        if W1p != W1:
+            d2 = jnp.pad(disp2, ((0, 0), (0, W1p - W1)), constant_values=1e9)
+            c2 = jnp.pad(coords2, ((0, 0), (0, W1p - W1)), constant_values=-1e9)
+            g_corr = jnp.pad(g_corr, ((0, 0), (0, W1p - W1), (0, 0)))
+        dcorr = pl.pallas_call(
+            functools.partial(_bwd_corr_kernel, radius=radius, level=i),
+            grid=(G // Rb, W1p // W1c),
+            in_specs=[
+                pl.BlockSpec((Rb, W1c, 1), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rb, W1c, 1), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rb, W1c, taps), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Rb, W1c, W2), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, W1p, W2), corr_shapes[i].dtype),
+            interpret=interpret,
+        )(d2[..., None], c2[..., None], g_corr)
+        dcorrs.append(dcorr[:, :W1].reshape(corr_shapes[i].shape))
     return tuple(dgeos), tuple(dcorrs)
 
 

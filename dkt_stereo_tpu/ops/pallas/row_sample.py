@@ -39,25 +39,40 @@ def _fwd_kernel(pos_ref, vol_ref, out_ref, K: int):
         out_ref[r] = jnp.stack(outs, axis=-1)
 
 
-def _bwd_kernel(pos_ref, vol_ref, g_ref, dvol_ref, dpos_ref, K: int):
+def _bwd_vol_kernel(pos_ref, g_ref, dvol_ref, K: int):
+    """dvol half of the backward. Split from dpos and run at R=2 row blocks:
+    the combined R=8 kernel's unrolled row×K loop held ~29MB of (W1, W2)
+    fp32 temps on the Mosaic scoped-VMEM stack (16MB limit) at PCV eval
+    geometry — caught compiled-on-chip by scripts/validate_kernels.py,
+    invisible in interpret mode."""
+    R, W1 = pos_ref.shape[0], pos_ref.shape[1]
+    W2 = dvol_ref.shape[-1]
+    for r in range(R):
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
+        g = g_ref[r].astype(jnp.float32)  # (W1, K)
+        acc = jnp.zeros((W1, W2), jnp.float32)
+        for k in range(K):
+            pos = pos_ref[r, :, k][:, None]
+            w = jnp.maximum(1.0 - jnp.abs(j - pos), 0.0)
+            acc = acc + g[:, k : k + 1] * w
+        dvol_ref[r] = acc.astype(dvol_ref.dtype)
+
+
+def _bwd_pos_kernel(pos_ref, vol_ref, g_ref, dpos_ref, K: int):
     R, W1 = pos_ref.shape[0], pos_ref.shape[1]
     for r in range(R):
         vol = vol_ref[r].astype(jnp.float32)
         W2 = vol.shape[-1]
         j = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(jnp.float32)
         g = g_ref[r].astype(jnp.float32)  # (W1, K)
-        acc = jnp.zeros((W1, W2), jnp.float32)
         dpos = []
         for k in range(K):
             pos = pos_ref[r, :, k][:, None]
             diff = j - pos
             inside = (jnp.abs(diff) < 1.0).astype(jnp.float32)
-            w = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
             gk = g[:, k : k + 1]
-            acc = acc + gk * w
             # dw/dpos = sign(j - pos) inside the hat support
             dpos.append(jnp.sum(vol * jnp.sign(diff) * inside * gk, axis=-1))
-        dvol_ref[r] = acc.astype(dvol_ref.dtype)
         dpos_ref[r] = jnp.stack(dpos, axis=-1)
 
 
@@ -86,25 +101,35 @@ def _row_sample_bwd_impl(vol, pos, g, interpret):
     B, H, W1, W2 = vol.shape
     K = pos.shape[-1]
     G = B * H
-    R = _pick_rows(G)
-    dvol, dpos = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K),
+    # R=2: the unrolled row loop's fp32 temps dominate the scoped-VMEM
+    # stack (see _bwd_vol_kernel docstring); 3-D blocks put W1 on the
+    # sublane axis so the leading dim carries no divisibility constraint
+    R = 2 if G % 2 == 0 else 1
+    pos2 = pos.reshape(G, W1, K)
+    g2 = g.reshape(G, W1, K)
+    dvol = pl.pallas_call(
+        functools.partial(_bwd_vol_kernel, K=K),
+        grid=(G // R,),
+        in_specs=[
+            pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, W1, W2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, W1, W2), vol.dtype),
+        interpret=interpret,
+    )(pos2, g2)
+    dpos = pl.pallas_call(
+        functools.partial(_bwd_pos_kernel, K=K),
         grid=(G // R,),
         in_specs=[
             pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, W1, W2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((R, W1, W2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, W1, W2), vol.dtype),
-            jax.ShapeDtypeStruct((G, W1, K), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((R, W1, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, W1, K), jnp.float32),
         interpret=interpret,
-    )(pos.reshape(G, W1, K), vol.reshape(G, W1, W2), g.reshape(G, W1, K))
+    )(pos2, vol.reshape(G, W1, W2), g2)
     return dvol.reshape(vol.shape), dpos.reshape(pos.shape)
 
 

@@ -148,17 +148,24 @@ def main():
     )
     record("geo_lookup", "fwd_eval_184x320_D48", _maxabs(got, want), 2e-4)
 
-    def gl_xla(gp_, cp_, d):
+    # pyramid grads only (argnums 0,1): the kernel's VJP intentionally
+    # returns zero for disp/coords — the model detaches disp before every
+    # lookup (models/igev_stereo.py, reference igev_stereo.py:201) and the
+    # reference's CUDA sampler likewise returns no coordinate gradient
+    # (core/corr.py:25-29), so a disp-grad comparison against the bare XLA
+    # closure (which IS differentiable through the tap weights) would flag
+    # a difference no model path can observe.
+    def gl_xla(gp_, cp_):
         f = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
         f.geo_pyramid, f.init_corr_pyramid = list(gp_), list(cp_)
         f.num_levels, f.radius = 2, 4
-        return (f(d, cgrid) ** 2).sum()
+        return (f(disp, cgrid) ** 2).sum()
 
-    def gl_pl(gp_, cp_, d):
-        return (geo_lookup_pallas(gp_, cp_, d, cgrid, 4) ** 2).sum()
+    def gl_pl(gp_, cp_):
+        return (geo_lookup_pallas(gp_, cp_, disp, cgrid, 4) ** 2).sum()
 
-    gx = jax.jit(jax.grad(gl_xla, argnums=(0, 1, 2)))(geo_pyr, corr_pyr, disp)
-    gp = jax.jit(jax.grad(gl_pl, argnums=(0, 1, 2)))(geo_pyr, corr_pyr, disp)
+    gx = jax.jit(jax.grad(gl_xla, argnums=(0, 1)))(geo_pyr, corr_pyr)
+    gp = jax.jit(jax.grad(gl_pl, argnums=(0, 1)))(geo_pyr, corr_pyr)
     err = max(
         _maxabs(a, b)
         for ta, tb in zip(gp, gx)

@@ -53,6 +53,41 @@ def test_geo_pallas_vjp_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_geo_pallas_chunked_matches_xla(rng, monkeypatch):
+    """W1-chunked path (VMEM budget exceeded → 128-multiple column blocks,
+    padded disp/coords): forced at test size by shrinking the byte budget.
+    On-chip the chunking is what keeps IGEV eval geometry under Mosaic's
+    16MB scoped-VMEM limit (scripts/validate_kernels.py)."""
+    import dkt_stereo_tpu.ops.pallas.geo_lookup as m
+
+    fn, disp, coords = _setup(rng, H=8, W=160, D=16)
+    monkeypatch.setattr(m, "_VMEM_BYTES", 200_000)  # forces W1c=128 < W1=160
+    want = np.asarray(fn(disp, coords))
+    got = np.asarray(
+        geo_lookup_pallas(
+            tuple(fn.geo_pyramid), tuple(fn.init_corr_pyramid), disp, coords, 4, True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def f_pl(geo_pyr, corr_pyr):
+        return (geo_lookup_pallas(geo_pyr, corr_pyr, disp, coords, 4, True) ** 2).sum()
+
+    def f_xla(geo_pyr, corr_pyr):
+        fn2 = CombinedGeoEncodingVolume.__new__(CombinedGeoEncodingVolume)
+        fn2.num_levels, fn2.radius = 2, 4
+        fn2.geo_pyramid = list(geo_pyr)
+        fn2.init_corr_pyramid = list(corr_pyr)
+        return (fn2(disp, coords) ** 2).sum()
+
+    geo_pyr = tuple(fn.geo_pyramid)
+    corr_pyr = tuple(fn.init_corr_pyramid)
+    g_pl = jax.grad(f_pl, argnums=(0, 1))(geo_pyr, corr_pyr)
+    g_xla = jax.grad(f_xla, argnums=(0, 1))(geo_pyr, corr_pyr)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl), jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
 def test_igev_model_pallas_matches_reg(rng):
     from dkt_stereo_tpu.models import IGEVStereo, IGEVStereoConfig
 
