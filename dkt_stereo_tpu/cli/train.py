@@ -344,6 +344,9 @@ def train(args) -> str:
             host_metrics = {k: float(v) for k, v in metrics.items()}
             lg.writer.add_scalar("live_loss", host_metrics["loss"], total_steps)
             lg.writer.add_scalar("learning_rate", host_metrics["learning_rate"], total_steps)
+            for k in ("ema_divergence", "teacher_divergence"):
+                if k in host_metrics:
+                    lg.writer.add_scalar(k, host_metrics[k], total_steps)
             lg.push({k: host_metrics[k] for k in ("epe", "1px", "3px", "5px", "loss") if k in host_metrics})
 
             if total_steps % 100 == 0 and host_id == 0 and "flow" in batch:

@@ -212,11 +212,26 @@ def make_dkt_train_step(
         new_params = pick(new_params, state.params)
         opt_state = pick(opt_state, state.opt_state)
 
+        def _l2_dist(a, b):
+            # global L2 distance over trainable params — the EMA/teacher
+            # divergence curves (how far the student has moved from its
+            # slow copy and from the frozen stage-2 teacher); costs one
+            # tree-reduce, negligible next to the step
+            sq = jax.tree_util.tree_map(
+                lambda x, y: jnp.sum((x.astype(jnp.float32) - y.astype(jnp.float32)) ** 2),
+                a, b,
+            )
+            return jnp.sqrt(sum(jax.tree_util.tree_leaves(sq)))
+
         metrics = dict(metrics)
         metrics.update(
             loss=loss,
             loss_GT=loss_gt,
             loss_PL=loss_pl,
+            ema_divergence=_l2_dist(new_params["params"], ema_params["params"]),
+            teacher_divergence=_l2_dist(
+                new_params["params"], state.teacher_params["params"]
+            ),
             ok=ok.astype(jnp.float32),
             # schedule position from the optimizer state, NOT state.step:
             # skipped (ok=False) steps revert opt_state, so the logged LR

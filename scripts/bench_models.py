@@ -1,6 +1,8 @@
 """Inference throughput for every model in the zoo at 736x1280 (single chip,
-reference eval protocols: 32 GRU iterations for the iterative models, single
-shot for GWCNet/CGI). Prints one JSON line per model."""
+reference eval protocols: 32 GRU iterations for the iterative models
+(tools/evaluate_stereo.py:128-133 timing semantics: warm-up excluded,
+device-synced), single shot for GWCNet/CGI). Prints one JSON line per model
+and writes BENCH_MODELS_r03.json."""
 
 from __future__ import annotations
 
@@ -34,6 +36,7 @@ def main():
         ("GWCNet", GWCNet, GWCNetConfig(), 0),
         ("PCVNet", PCVNet, PCVNetConfig(valid_iters=32, corr_implementation="reg_cuda"), 32),
     ]
+    rows = []
     for name, cls, cfg, iters in cases:
         try:
             model = cls(cfg, iters=iters, test_mode=True)
@@ -49,13 +52,25 @@ def main():
                 out = fwd(params, img1, img2)
             np.asarray(out)
             dt = (time.perf_counter() - t0) / n
-            print(json.dumps({
+            rows.append({
                 "model": name, "ms_per_frame": round(dt * 1000), "fps": round(1 / dt, 2),
                 "iters": iters, "compile_s": round(compile_s, 1),
-            }), flush=True)
+            })
+            print(json.dumps(rows[-1]), flush=True)
             del params, fwd
         except Exception as e:  # keep the sweep going
-            print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
+            rows.append({"model": name, "error": str(e)[:200]})
+            print(json.dumps(rows[-1]), flush=True)
+    out = {
+        "protocol": "736x1280 batch 1, reference eval timing semantics "
+                    "(warm-up excluded, np.asarray device sync), mean of 5 "
+                    "frames; perf-mode configs (Pallas kernels, bf16 "
+                    "policy) as shipped in configs/*/pallas.json",
+        "rows": rows,
+    }
+    with open("BENCH_MODELS_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": "BENCH_MODELS_r03.json"}))
 
 
 if __name__ == "__main__":

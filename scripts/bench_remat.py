@@ -61,7 +61,10 @@ def measure(name: str, remat: bool, B, H, W, results: list):
     except Exception as e:
         # a compile-time HBM OOM without remat at the reference training
         # geometry IS the finding: the step does not fit on one chip at all
-        rec["compile_error"] = f"{type(e).__name__}: {e}"[:400]
+        import re
+
+        m = re.search(r"Ran out of memory[^.]*\.[^.]*\.", str(e))
+        rec["compile_error"] = (m.group(0) if m else f"{type(e).__name__}: {e}"[:400])
         results.append(rec)
         print(json.dumps(rec), flush=True)
         return
