@@ -56,6 +56,12 @@ class IGEVStereoConfig:
     freeze_backbone: bool = True  # torch.no_grad() trunk (igev_stereo.py:157)
     # "reg" = XLA lookup; "reg_cuda"/"pallas" = fused Pallas geo-lookup kernel
     corr_implementation: str = "reg"
+    # storage dtype of the hoisted geo/corr pyramids on the Pallas path
+    # (same switch as RAFTStereoConfig.corr_dtype): "bfloat16" halves the
+    # pyramid HBM/VMEM footprint (the hot-path default), "float32" keeps the
+    # fp32-correlation policy end-to-end (and makes reg_cuda vs reg an
+    # apples-to-apples kernel comparison — scripts/validate_kernels.py)
+    corr_dtype: str = "bfloat16"
     # TPU extension: jax.checkpoint each GRU iteration (activation memory
     # O(1) in iters; numerics identical — tests/test_remat.py)
     remat_iters: bool = False
@@ -327,12 +333,14 @@ class IGEVStereo(nn.Module):
         geo_pyr_c = tuple(geo_fn.init_corr_pyramid)
         if (
             cfg.corr_implementation in ("reg_cuda", "alt_cuda", "pallas")
+            and cfg.corr_dtype == "bfloat16"
             and jax.default_backend() != "cpu"
         ):
             # cast ONCE outside the scan (a convert inside the body would
             # re-materialize the ~100MB pyramids every iteration unless XLA's
-            # loop-invariant motion catches it); bf16 keeps the per-level
-            # Pallas kernels inside the 16MB scoped-VMEM budget
+            # loop-invariant motion catches it); bf16 halves the per-level
+            # Pallas kernel VMEM blocks (corr_dtype="float32" opts out; the
+            # kernel's byte-budget W1 chunking keeps fp32 legal too)
             geo_pyr_g = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_g)
             geo_pyr_c = tuple(v.astype(jnp.bfloat16) for v in geo_pyr_c)
 

@@ -236,7 +236,9 @@ def fused_fullres_layer1(
     )
 
     B, H, W, _ = x.shape
-    rb = pick_rb(W // 2 + 2, H)  # VMEM-bounded rows/step at large widths
+    # VMEM-bounded rows/step at large widths; fp32 activations halve the
+    # row budget (encoder_conv.pick_rb docstring)
+    rb = pick_rb(W // 2 + 2, H, jnp.dtype(dtype).itemsize)
     encoder_stage = functools.partial(_encoder_stage, rb=rb)
     C = triples[0][0].shape[-1]
     count = float(H * W)

@@ -93,11 +93,31 @@ def _alt_fwd_kernel(coords_ref, f1_ref, f2t_ref, out_ref, *, radius, level, inv_
         out_ref[r] = jnp.stack(outs, axis=-1)  # (W1c, taps)
 
 
+# Per-program byte budget for choosing the W1 chunk (same rationale as
+# corr_lookup._VMEM_BYTES): the (R, W1c, D) f1 block + the level's fixed
+# (R, D, W2) f2t block + the (R, W1c, taps→128-lane-padded) out block,
+# double-buffered, plus the per-row fp32 volume and HIGHEST-precision
+# decomposition scratch must stay under Mosaic's 16MB scoped-VMEM stack.
+# An un-budgeted full-W1 fp32 block measured 18.3MB inside the RAFT scan
+# (caught compiled-on-chip by scripts/validate_kernels.py — the standalone
+# kernel jit of the same shapes happened to fit).
+_VMEM_BYTES = 3_400_000
+
+
 def _alt_fwd_impl(fmap1, f2t_pyramid, coords, radius, interpret):
     B, H, W1, D = fmap1.shape
     G = B * H
     R = _pick_rows(G)
-    W1p, W1c = _pick_cols(W1)
+    itemsize = jnp.dtype(f2t_pyramid[0].dtype).itemsize
+    w2max = max(f.shape[-1] for f in f2t_pyramid)
+    limit = max(
+        128,
+        (_VMEM_BYTES - R * D * w2max * itemsize)
+        // max(R * (D + 128) * itemsize, 1)
+        // 128
+        * 128,
+    )
+    W1p, W1c = _pick_cols(W1, limit)
     taps = 2 * radius + 1
 
     # match the right-feature dtype (bf16 on the TPU hot path — halves the

@@ -47,16 +47,23 @@ from jax.experimental.pallas import tpu as pltpu
 R_BLOCK = 8  # default output rows per grid step
 
 
-def pick_rb(wcp: int, h: int) -> int:
+def pick_rb(wcp: int, h: int, itemsize: int = 2) -> int:
     """Rows per grid step bounded by VMEM: the per-program footprint (input/
-    output/scratch blocks in bf16 + two fp32 row temps) is ≈ 18·rb·Wcp·C2
-    bytes, so wide full-resolution frames (Middlebury-F: Wcp≈1442) must drop
-    below the default 8. ``h`` must stay divisible by the choice."""
+    output/scratch blocks in the activation dtype + two fp32 row temps) is
+    ≈ 18·rb·Wcp·C2 bytes at bf16, so wide full-resolution frames
+    (Middlebury-F: Wcp≈1442) must drop below the default 8. ``h`` must stay
+    divisible by the choice. ``itemsize`` scales the budget for fp32
+    activations (mixed_precision off): the bf16-calibrated threshold let an
+    fp32 736×1280 frame through and Mosaic's 16MB scoped-VMEM allocator
+    rejected the kernel — caught compiled-on-chip by
+    scripts/validate_kernels.py."""
     # measured on the dual-input (v + emit_h) stage, the VMEM-heaviest:
-    # rb·wcp = 5136 (736×1280 eval) fits; 5768 (Middlebury-F) overflows by
-    # ~0.9M — the scoped budget works out to ≈ rb·wcp ≤ ~5460
+    # rb·wcp = 5136 (736×1280 eval) fits at bf16; 5768 (Middlebury-F)
+    # overflows by ~0.9M — the scoped budget works out to ≈ rb·wcp ≤ ~5460
+    # bf16-equivalent units
+    budget = 5300 * 2 // max(itemsize, 2)
     for rb in (8, 4, 2, 1):
-        if rb * wcp <= 5300 and h % rb == 0:
+        if rb * wcp <= budget and h % rb == 0:
             return rb
     return 1
 

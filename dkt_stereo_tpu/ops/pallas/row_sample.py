@@ -7,10 +7,15 @@ whose positions ``dx·σ + μ`` depend on a *differentiable* σ
 (pcvnet/model.py:121-122 detaches only coords) — so unlike the RAFT kernel,
 the VJP also returns position gradients:
 
-    d out_k / d pos_k = Σ_j vol_j · (−sign(j − pos_k)) · 1[|j − pos_k| < 1]
+    d out_k / d pos_k = Σ_j vol_j · (1[0 < j−pos ≤ 1] − 1[−1 < j−pos ≤ 0])
 
-(the derivative of the interpolation hat function; measure-zero kink points
-follow the subgradient convention, matching grid_sample's behavior).
+i.e. the two-tap convention ``v[x0+1] − v[x0]`` with ``x0 = floor(pos)`` —
+including at integer positions, where the hat function has a kink and the
+symmetric ``sign(j−pos)·1[|j−pos|<1]`` subgradient instead returns 0. The
+two-tap form matches the XLA path (ops/sampler.py) and torch grid_sample
+exactly; the sign form disagreed at the ~1e-5 fraction of fp32 positions
+that round to exact integers (29 of 2.1M at PCV eval geometry, caught
+compiled-on-chip by scripts/validate_kernels.py).
 """
 
 from __future__ import annotations
@@ -69,10 +74,13 @@ def _bwd_pos_kernel(pos_ref, vol_ref, g_ref, dpos_ref, K: int):
         for k in range(K):
             pos = pos_ref[r, :, k][:, None]
             diff = j - pos
-            inside = (jnp.abs(diff) < 1.0).astype(jnp.float32)
+            # two-tap convention incl. kinks (module docstring): +1 on the
+            # x0+1 tap, −1 on the x0 tap, with x0 = floor(pos)
+            dw = jnp.where((diff > 0.0) & (diff <= 1.0), 1.0, 0.0) - jnp.where(
+                (diff > -1.0) & (diff <= 0.0), 1.0, 0.0
+            )
             gk = g[:, k : k + 1]
-            # dw/dpos = sign(j - pos) inside the hat support
-            dpos.append(jnp.sum(vol * jnp.sign(diff) * inside * gk, axis=-1))
+            dpos.append(jnp.sum(vol * dw * gk, axis=-1))
         dpos_ref[r] = jnp.stack(dpos, axis=-1)
 
 

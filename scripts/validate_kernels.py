@@ -219,9 +219,15 @@ def main():
         ("corr_alt", "raft_alt_cuda_vs_reg",
          dict(corr_implementation="alt_cuda"),
          dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 1e-2),
+        # corr_dtype float32 so both sides store fp32 pyramids (the Pallas
+        # hot path defaults to bf16 storage — a policy delta, not a kernel
+        # delta); iters=2 because random-init IGEV amplifies ANY fp
+        # difference ~x10/iteration (measured 1.5 -> 19 -> 82 over iters
+        # 1/2/4 from a bf16 storage delta) — the kernel-level rows above are
+        # the precision evidence, this row pins in-situ wiring
         ("geo_lookup", "igev_reg_cuda_vs_reg",
-         dict(corr_implementation="reg_cuda"),
-         dict(corr_implementation="reg"), "IGEVStereo", 8, 1e-2),
+         dict(corr_implementation="reg_cuda", corr_dtype="float32"),
+         dict(corr_implementation="reg"), "IGEVStereo", 2, 1e-2),
         ("row_sample", "pcv_reg_cuda_vs_reg",
          dict(corr_implementation="reg_cuda"),
          dict(corr_implementation="reg"), "PCVNet", 8, 1e-2),

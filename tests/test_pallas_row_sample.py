@@ -38,6 +38,26 @@ def test_row_sample_vjp_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(gp_pl), np.asarray(gp_x), atol=1e-3)
 
 
+def test_row_sample_vjp_integer_positions(rng):
+    """Position gradient AT the interpolation kinks (exact-integer pos,
+    including the 0 and W2-1 boundaries): the kernel must follow the
+    two-tap convention v[x0+1]-v[x0] like the XLA path / grid_sample, not
+    the symmetric-hat subgradient 0. Regression for a compiled-on-chip
+    divergence at the ~1e-5 fraction of fp32 positions that round to exact
+    integers (scripts/validate_kernels.py)."""
+    B, H, W1, W2, K = 1, 2, 8, 32, 8
+    vol = jnp.asarray(rng.standard_normal((B, H, W1, W2)).astype(np.float32))
+    ints = rng.integers(0, W2, (B, H, W1, K - 2)).astype(np.float32)
+    edges = np.broadcast_to(
+        np.asarray([0.0, W2 - 1.0], np.float32), (B, H, W1, 2)
+    )
+    pos = jnp.asarray(np.concatenate([ints, edges], axis=-1))
+
+    gp_pl = jax.grad(lambda p: (row_sample_pallas(vol, p, True) ** 2).sum())(pos)
+    gp_x = jax.grad(lambda p: (sample_row_1d(vol, p) ** 2).sum())(pos)
+    np.testing.assert_allclose(np.asarray(gp_pl), np.asarray(gp_x), atol=1e-4)
+
+
 def test_pcvnet_pallas_lookup_matches_reg(rng):
     from dkt_stereo_tpu.models import PCVNet, PCVNetConfig
 
