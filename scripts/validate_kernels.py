@@ -209,36 +209,47 @@ def main():
         out = np.asarray(jax.jit(lambda a, b: m.apply(p, a, b)[1])(i1, i2))
         return out
 
+    # These rows pin IN-SITU WIRING (the kernel path runs inside the full
+    # jitted model and lands within the chaos envelope); the PRECISION
+    # evidence is the kernel-level rows above. Rationale: random-init GRU
+    # refinement is a chaotic map that amplifies any fp difference
+    # exponentially (measured on-chip: a bf16-vs-fp32 pyramid delta grows
+    # 1.5 -> 19 -> 82 -> 185 over iters 1/2/4/8 through IGEV; the fused-alt
+    # and w2d-encoder reformulation deltas back-solve to the ~1e-6 iter-0
+    # values the kernel rows measure directly). Kernels that are the exact
+    # same two-tap arithmetic as the XLA path come out BIT-IDENTICAL
+    # through 8 full iterations (err 0.0 at fp32) and carry a tight
+    # relative bound; reformulated kernels (different but equally-valid
+    # accumulation order) run iters=2 against a relative bound that the
+    # measured amplification justifies.
     cases = [
         ("encoder_conv", "raft_pallas_encoder_vs_xla",
          dict(corr_implementation="reg", corr_dtype="float32", pallas_encoder=True),
-         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 5e-2),
+         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 2, 5e-2),
         ("corr_lookup", "raft_reg_cuda_vs_reg",
          dict(corr_implementation="reg_cuda", corr_dtype="float32"),
-         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 1e-2),
+         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 1e-4),
         ("corr_alt", "raft_alt_cuda_vs_reg",
          dict(corr_implementation="alt_cuda"),
-         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 8, 1e-2),
+         dict(corr_implementation="reg", corr_dtype="float32"), "RAFTStereo", 2, 1e-2),
         # corr_dtype float32 so both sides store fp32 pyramids (the Pallas
         # hot path defaults to bf16 storage — a policy delta, not a kernel
-        # delta); iters=2 because random-init IGEV amplifies ANY fp
-        # difference ~x10/iteration (measured 1.5 -> 19 -> 82 over iters
-        # 1/2/4 from a bf16 storage delta) — the kernel-level rows above are
-        # the precision evidence, this row pins in-situ wiring
+        # delta)
         ("geo_lookup", "igev_reg_cuda_vs_reg",
          dict(corr_implementation="reg_cuda", corr_dtype="float32"),
-         dict(corr_implementation="reg"), "IGEVStereo", 2, 1e-2),
+         dict(corr_implementation="reg"), "IGEVStereo", 2, 1e-4),
         ("row_sample", "pcv_reg_cuda_vs_reg",
          dict(corr_implementation="reg_cuda"),
-         dict(corr_implementation="reg"), "PCVNet", 8, 1e-2),
+         dict(corr_implementation="reg"), "PCVNet", 8, 1e-4),
     ]
-    for kernel, case, cfg_pl, cfg_ref, model, iters, bound in cases:
+    for kernel, case, cfg_pl, cfg_ref, model, iters, rel_bound in cases:
         try:
             a = model_disp(model, iters, **cfg_pl)
             b = model_disp(model, iters, **cfg_ref)
-            record(kernel, case, _maxabs(a, b), bound,
-                   {"model": model, "iters": iters, "disp_scale":
-                    float(np.abs(b).max())})
+            scale = float(np.abs(b).max())
+            record(kernel, case, _maxabs(a, b), rel_bound * max(scale, 1.0),
+                   {"model": model, "iters": iters, "disp_scale": scale,
+                    "rel_bound": rel_bound, "protocol": "in-situ wiring pin"})
         except Exception as e:
             rows.append({"kernel": kernel, "case": case, "error": str(e)[:300], "ok": False})
             print(json.dumps(rows[-1]), flush=True)
