@@ -43,16 +43,42 @@ def make_ns_train_step(
     conf_threshold: float = 0.5,
     disp_threshold: float = 512.0,
     alpha_photometric: float = 0.1,
+    num_hosts: int | None = None,
 ):
     """Returns jitted ``step_fn(state, batch, key) -> (state, metrics)``.
 
     ``batch`` follows the collate_mixed contract: ``im1_forward``/
-    ``im2_forward`` stacked (nb bi rows then nt tri rows), ``bi.flow``/
-    ``bi.valid``, ``tri.{flow, conf, im0, im1, im2}``. ``nb``/``nt`` are the
-    loader's static modality split. The model must emit the RAFT output
-    contract (``disp_preds``) — NS training targets the RAFT-Stereo family,
-    as in the NeRF-Stereo recipe the reference imports."""
+    ``im2_forward`` stacked (per HOST: nb/num_hosts bi rows then nt/num_hosts
+    tri rows), ``bi.flow``/``bi.valid``, ``tri.{flow, conf, im0, im1, im2}``.
+    ``nb``/``nt`` are the loader's static GLOBAL modality split. The model
+    must emit the RAFT output contract (``disp_preds``) — NS training targets
+    the RAFT-Stereo family, as in the NeRF-Stereo recipe the reference
+    imports.
+
+    Multi-host layout: ``shard_batch``'s make_array_from_process_local_data
+    concatenates the hosts' local blocks, so the GLOBAL forward stack is
+    ``[h0: nb_l bi, nt_l tri | h1: nb_l bi, nt_l tri | ...]`` — the bi rows
+    are NOT a contiguous ``[:nb]`` prefix when ``num_hosts > 1``. The loss
+    therefore re-slices predictions per host block (reshape to
+    ``(num_hosts, nb_l + nt_l)`` and split), which keeps modality alignment
+    with the per-modality target arrays (themselves host-block concatenated
+    in the same order)."""
     assert nb + nt > 0 and nt >= 0 and nb >= 0
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    assert nb % num_hosts == 0 and nt % num_hosts == 0, (nb, nt, num_hosts)
+    nb_l, nt_l = nb // num_hosts, nt // num_hosts
+
+    def split_modalities(x):
+        """(iters, nb+nt, ...) host-block-interleaved → (bi, tri) stacks."""
+        if num_hosts == 1 or nb == 0 or nt == 0:
+            return x[:, :nb], x[:, nb:]
+        s = x.shape
+        xr = x.reshape(s[0], num_hosts, nb_l + nt_l, *s[2:])
+        bi = xr[:, :, :nb_l].reshape(s[0], nb, *s[2:])
+        tri = xr[:, :, nb_l:].reshape(s[0], nt, *s[2:])
+        return bi, tri
+
     student = model_cls(cfg, iters=hyper.train_iters, test_mode=False)
     tx, schedule = make_optimizer(hyper)
 
@@ -65,13 +91,14 @@ def make_ns_train_step(
             out = student.apply(
                 params, batch["im1_forward"], batch["im2_forward"], rngs={"mix": key}
             )
-            preds = out["disp_preds"]  # (N, nb+nt, H, W)
+            preds = out["disp_preds"]  # (N, nb+nt, H, W) host-block order
+            preds_bi, preds_tri = split_modalities(preds)
             loss = 0.0
             ok = jnp.asarray(True)
             metrics = {}
             if nb:
                 loss_bi, m_bi, _, ok_bi = sequence_loss_raft(
-                    preds[:, :nb], batch["bi"]["flow"], batch["bi"]["valid"]
+                    preds_bi, batch["bi"]["flow"], batch["bi"]["valid"]
                 )
                 loss = loss + loss_bi
                 ok = ok & ok_bi
@@ -79,7 +106,7 @@ def make_ns_train_step(
                 metrics.update(m_bi)  # overwritten by tri metrics when nt>0
             if nt:
                 loss_tri, m_tri, _, ok_tri = ns_loss(
-                    preds[:, nb:],
+                    preds_tri,
                     batch["tri"]["flow"],
                     batch["tri"]["conf"],
                     batch["tri"]["im0"],

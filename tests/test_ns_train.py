@@ -190,6 +190,85 @@ def test_loss_func_registry_dispatch():
     assert float(igev_loss(out, gt, valid)[0]) != float(igev_loss(out2, gt, valid)[0])
 
 
+def test_ns_step_multihost_modality_alignment(rng):
+    """Regression (round-4 advisor, high): with num_hosts > 1 the GLOBAL
+    forward stack assembled by shard_batch is host-block interleaved
+    ``[h0: nb_l bi, nt_l tri | h1: nb_l bi, nt_l tri]`` — a naive
+    ``preds[:, :nb]`` prefix slice silently scores binocular losses against
+    trinocular predictions. The step must re-slice per host block: the
+    2-host step on the interleaved layout must match the 1-host step on the
+    contiguous layout exactly (same loss, same updated params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dkt_stereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
+    from dkt_stereo_tpu.train import DKTHyperParams
+    from dkt_stereo_tpu.train.dkt_step import create_dkt_state
+    from dkt_stereo_tpu.train.ns_step import make_ns_train_step
+
+    cfg = RAFTStereoConfig(
+        mixed_precision=False, context_norm="instance", corr_levels=2,
+        corr_radius=2, n_downsample=2, n_gru_layers=1,
+        hidden_dims=(16, 16, 16), corr_dtype="float32",
+    )
+    hyper = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100)
+    H, W = 32, 64
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (2, H, W))
+
+    # two bi rows (b0, b1) and two tri rows (t0, t1), all distinct
+    def img(v):
+        return jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32)) + v
+
+    b_im1 = [img(0.0), img(1.0)]
+    b_im2 = [img(2.0), img(3.0)]
+    t_im1 = [img(4.0), img(5.0)]
+    t_im2 = [img(6.0), img(7.0)]
+    b_flow = jnp.asarray(-rng.uniform(0, 8, (2, H, W)).astype(np.float32))
+    b_valid = jnp.ones((2, H, W), jnp.float32)
+    tri = {
+        "flow": jnp.asarray(-rng.uniform(0, 8, (2, H, W)).astype(np.float32)),
+        "conf": jnp.full((2, H, W), 0.9, jnp.float32),
+        "im0": jnp.stack([img(8.0), img(9.0)]),
+        "im1": jnp.stack([img(10.0), img(11.0)]),
+        "im2": jnp.stack([img(12.0), img(13.0)]),
+    }
+
+    # contiguous (single-host) layout: [b0, b1, t0, t1]
+    batch_1h = {
+        "im1_forward": jnp.stack([b_im1[0], b_im1[1], t_im1[0], t_im1[1]]),
+        "im2_forward": jnp.stack([b_im2[0], b_im2[1], t_im2[0], t_im2[1]]),
+        "bi": {"flow": b_flow, "valid": b_valid},
+        "tri": tri,
+    }
+    # host-block interleaved (2-host) layout: [b0, t0 | b1, t1]; the
+    # per-modality targets concatenate per host block in the same order
+    batch_2h = {
+        "im1_forward": jnp.stack([b_im1[0], t_im1[0], b_im1[1], t_im1[1]]),
+        "im2_forward": jnp.stack([b_im2[0], t_im2[0], b_im2[1], t_im2[1]]),
+        "bi": {"flow": b_flow, "valid": b_valid},
+        "tri": tri,
+    }
+
+    key = jax.random.PRNGKey(7)
+    step_1h = make_ns_train_step(cfg, hyper, RAFTStereo, nb=2, nt=2, num_hosts=1)
+    step_2h = make_ns_train_step(cfg, hyper, RAFTStereo, nb=2, nt=2, num_hosts=2)
+    s1, m1 = step_1h(state, batch_1h, key)
+    s2, m2 = step_2h(state, batch_2h, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["ns_loss"]), float(m2["ns_loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params["params"]),
+        jax.tree_util.tree_leaves(s2.params["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # teeth: the pre-fix behavior (prefix slice on the interleaved layout)
+    # computes a DIFFERENT loss — modality misalignment is observable
+    _, m_bad = step_1h(state, batch_2h, key)
+    assert abs(float(m_bad["loss"]) - float(m1["loss"])) > 1e-4
+
+
 def test_ns_train_cli_end_to_end(tmp_path, rng, monkeypatch):
     """Train-CLI run on the triplet fixture tree: loss_func=ns_loss routes to
     the NS step, ns_loss decreases, a checkpoint lands."""
