@@ -60,7 +60,13 @@ class StereoLoader:
         # custom collate (the torch DataLoader collate_fn affordance the
         # reference's NerfStereo.collate_fn needs, core/stereo_datasets.py:449)
         # — threaded path only: a collate closure is not generally picklable
-        assert collate_fn is None or not use_processes
+        if collate_fn is not None and use_processes:
+            raise ValueError(
+                "collate_fn requires the threaded loader (use_processes=False):"
+                " a collate closure is not picklable across process-pool"
+                " workers. MixedStereoLoader always passes one, so mixed"
+                " bi/tri loading is thread-pool only."
+            )
         self.collate_fn = collate_fn or (
             lambda samples: {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         )

@@ -190,7 +190,12 @@ def _lookup_bwd_chunked(pyramid_shapes, coords, g, radius, interpret):
         # to 128 multiples — at the forward's chunk size it exceeded the
         # 16MB scoped-vmem stack by ~2% at Middlebury-F fp32 (caught by
         # scripts/validate_kernels.py on the chip)
-        limit = max(128, _VMEM_BYTES // 2 // s.dtype.itemsize // (R * W2) // 128 * 128)
+        # >= fp32 itemsize: the kernel's fp32 (W1c, W2) acc/tap temps don't
+        # shrink with bf16 inputs, so a bf16 pyramid must not double the
+        # chunk limit past what fits the 16MB scoped-VMEM stack
+        limit = max(
+            128, _VMEM_BYTES // 2 // max(s.dtype.itemsize, 4) // (R * W2) // 128 * 128
+        )
         W1p, W1c = _pick_cols(W1, limit)
         c2 = coords2
         gl = g2[..., level * taps : (level + 1) * taps]

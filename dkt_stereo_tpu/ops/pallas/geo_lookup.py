@@ -231,7 +231,12 @@ def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
         g_lvl = g2[..., i * per_level : (i + 1) * per_level]
 
         # --- dgeo half -----------------------------------------------------
-        itemsize = jnp.dtype(geo_shapes[i].dtype).itemsize
+        # budget at >= fp32 itemsize: the dominant scoped-VMEM consumers are
+        # the kernel's fp32 (W1c, DC) accumulator/tap temps, which do NOT
+        # shrink with bf16 inputs — budgeting at the input itemsize doubled
+        # the chunk limit for the default corr_dtype="bfloat16" training
+        # backward vs the fp32 geometry validate_kernels.py validates
+        itemsize = max(jnp.dtype(geo_shapes[i].dtype).itemsize, 4)
         limit = max(128, _VMEM_BYTES // 2 // (Rb * (DC + C * taps) * itemsize) // 128 * 128)
         W1p, W1c = _pick_cols(W1, limit)
         d2 = disp2
@@ -253,7 +258,8 @@ def _geo_bwd_impl(geo_shapes, corr_shapes, disp, coords, g, radius, interpret):
         dgeos.append(dgeo[:, :W1].reshape(geo_shapes[i].shape))
 
         # --- dcorr half ----------------------------------------------------
-        itemsize = jnp.dtype(corr_shapes[i].dtype).itemsize
+        # fp32 (W1c, W2) temps dominate here too — same >= fp32 budget rule
+        itemsize = max(jnp.dtype(corr_shapes[i].dtype).itemsize, 4)
         limit = max(128, _VMEM_BYTES // 2 // (Rb * (W2 + taps) * itemsize) // 128 * 128)
         W1p, W1c = _pick_cols(W1, limit)
         d2, c2 = disp2, coords2

@@ -105,7 +105,20 @@ def main():
     gscale = max(float(np.abs(np.asarray(v)).max()) for v in g_x)
     record("corr_lookup", "vjp_middF_496x720", err, 1e-4 * max(gscale, 1.0),
            {"grad_scale": gscale, "path": "chunked" if chunked else "direct"})
-    del volm, pyrm, f1m, f2m, cm, g_x, g_p
+
+    # bf16 pyramid VJP at the chunked geometry: the hot training path stores
+    # the pyramid in bf16 (corr_dtype default), and the backward chunk budget
+    # must account for fp32 in-kernel temps that do NOT shrink with bf16
+    # inputs (round-4 advisor finding — the fp32-only rows above never
+    # exercised the doubled chunk limit this configuration used to get)
+    pyrb = tuple(v.astype(jnp.bfloat16) for v in pyrm)
+    g_x = jax.jit(jax.grad(lambda p: (corr_lookup(list(p), cm, 4) ** 2).sum()))(pyrb)
+    g_p = jax.jit(jax.grad(lambda p: (corr_lookup_pallas(p, cm, 4) ** 2).sum()))(pyrb)
+    err = max(_maxabs(a, b) for a, b in zip(g_p, g_x))
+    gscale = max(float(np.abs(np.asarray(v, np.float32)).max()) for v in g_x)
+    record("corr_lookup", "vjp_middF_496x720_bf16", err, 1e-2 * max(gscale, 1.0),
+           {"grad_scale": gscale, "dtype": "bfloat16"})
+    del volm, pyrm, pyrb, f1m, f2m, cm, g_x, g_p
 
     # ---- corr_alt (fused, no materialization), eval geometry -------------
     pyr2 = fmap_pyramid(f2, 4)
@@ -176,7 +189,25 @@ def main():
     )
     record("geo_lookup", "vjp_eval_184x320_D48", err, 1e-4 * max(gscale, 1.0),
            {"grad_scale": gscale})
-    del g1, g2, geo, fn, geo_pyr, corr_pyr, gx, gp
+
+    # bf16 dual-pyramid VJP (default corr_dtype hot path) — exercises the
+    # >=fp32 chunk budget in _geo_bwd_impl with bf16 inputs
+    geo_pyr_b = tuple(v.astype(jnp.bfloat16) for v in geo_pyr)
+    corr_pyr_b = tuple(v.astype(jnp.bfloat16) for v in corr_pyr)
+    gx = jax.jit(jax.grad(gl_xla, argnums=(0, 1)))(geo_pyr_b, corr_pyr_b)
+    gp = jax.jit(jax.grad(gl_pl, argnums=(0, 1)))(geo_pyr_b, corr_pyr_b)
+    err = max(
+        _maxabs(a, b)
+        for ta, tb in zip(gp, gx)
+        for a, b in zip(jax.tree_util.tree_leaves(ta), jax.tree_util.tree_leaves(tb))
+    )
+    gscale = max(
+        float(np.abs(np.asarray(v, np.float32)).max())
+        for v in jax.tree_util.tree_leaves(gx)
+    )
+    record("geo_lookup", "vjp_eval_184x320_D48_bf16", err, 1e-2 * max(gscale, 1.0),
+           {"grad_scale": gscale, "dtype": "bfloat16"})
+    del g1, g2, geo, fn, geo_pyr, corr_pyr, geo_pyr_b, corr_pyr_b, gx, gp
 
     # ---- row_sample (PCV gaussian lookup), eval geometry ------------------
     K = 36  # 4 gaussians × 9 sample points
@@ -256,15 +287,16 @@ def main():
 
     out = {
         "protocol": "compiled (Mosaic) Pallas kernels vs XLA reference ops, "
-                    "fwd + custom-VJP, fp32, eval geometry 184x320 (1/4 of "
-                    "736x1280) + Middlebury-F 496x720 chunked path + "
-                    "full-frame model-level pins",
+                    "fwd + custom-VJP, fp32 AND bf16-pyramid, eval geometry "
+                    "184x320 (1/4 of 736x1280) + Middlebury-F 496x720 chunked "
+                    "path + full-frame model-level pins",
         "device": str(jax.devices()[0]),
         "results": rows,
         "all_ok": all(r.get("ok") for r in rows),
         "wall_s": round(time.perf_counter() - t_all, 1),
     }
-    with open("KERNELS_r03.json", "w") as f:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "KERNELS_r04.json"
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"all_ok": out["all_ok"], "n": len(rows)}), flush=True)
 
