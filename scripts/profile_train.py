@@ -1,0 +1,214 @@
+"""DKT train-step attribution + config A/B (single chip, training geometry).
+
+Gives training the treatment scripts/profile_update.py gave inference
+(VERDICT r3 weak #3): the measured DKT fine-tune step (REMAT_r03: 13.4 s
+RAFT / 21.6 s IGEV at batch 8, 320×704) is decomposed into phases —
+
+  teacher forward (32 iters, eval)   ×2 per step (frozen + EMA)
+  student forward (16 iters, train)
+  student forward+backward           (bwd = this minus forward)
+  F&E + EMA lerp + AdamW update      (the non-model remainder)
+
+— each timed as its own jitted function on the real chip, with XLA's
+compile-time FLOP estimate (``compiled.cost_analysis()``) converted to TF/s
+per phase. A config A/B then measures the step under the training levers:
+XLA "reg" corr (the REMAT_r03 baseline) vs Pallas "reg_cuda" corr (the
+custom-VJP kernels validate_kernels.py pins) vs scan_unroll.
+
+Writes TRAIN_PROF_r04.json. Run on the chip (nohup + poll; several compiles
+of minutes each). Reference hot loop: tools/ft_dkt.py:177-248.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+GEOM = (8, 320, 704)  # reference training geometry: batch 8, crop 320x704
+
+
+def _sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def timeit(fn, *args, reps=3, warm=1):
+    for _ in range(warm):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps * 1000.0  # ms
+
+
+def flops_of(jfn, *args):
+    try:
+        comp = jfn.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", -1.0))
+    except Exception:
+        return -1.0
+
+
+def make_batch(B, H, W):
+    rng = np.random.default_rng(0)
+    return {
+        "img1": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img1_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "flow": jnp.asarray(-rng.uniform(0, 60, (B, H, W)).astype(np.float32)),
+        "valid": jnp.ones((B, H, W), jnp.float32),
+    }
+
+
+def phase_attribution(cfg_dict, label, results):
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.losses.sequence import sequence_loss_raft
+    from dkt_stereo_tpu.train import DKTHyperParams, create_dkt_state, make_dkt_train_step
+
+    B, H, W = GEOM
+    hyper = DKTHyperParams(train_iters=16, teacher_iters=32, num_steps=1000)
+    model_cls, cfg_cls, _ = get_model("RAFTStereo")
+    cfg = cfg_cls.from_dict(dict(cfg_dict))
+    batch = make_batch(B, H, W)
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W))
+    key = jax.random.PRNGKey(1)
+
+    rec = {"config": label, "cfg": dict(cfg_dict), "geometry": [B, H, W]}
+
+    teacher = model_cls(cfg, iters=hyper.teacher_iters, test_mode=True)
+    student = model_cls(cfg, iters=hyper.train_iters, test_mode=False)
+
+    t_fwd = jax.jit(lambda p, b: teacher.apply(p, b["img1_clean"], b["img2_clean"])[1])
+    s_fwd = jax.jit(
+        lambda p, b, k: student.apply(p, b["img1"], b["img2"], rngs={"mix": k})["disp_preds"]
+    )
+
+    def loss_fn(trainable, frozen, b, k):
+        params = {"params": trainable, **frozen}
+        out = student.apply(params, b["img1"], b["img2"], rngs={"mix": k})
+        loss, _, _, _ = sequence_loss_raft(out["disp_preds"], b["flow"], b["valid"])
+        return loss
+
+    frozen = {k: v for k, v in state.params.items() if k != "params"}
+    s_grad = jax.jit(jax.value_and_grad(loss_fn))
+
+    rec["teacher_fwd_ms"] = timeit(t_fwd, state.teacher_params, batch)
+    rec["teacher_fwd_tflops"] = flops_of(t_fwd, state.teacher_params, batch) / 1e12
+    rec["student_fwd_ms"] = timeit(s_fwd, state.params, batch, key)
+    rec["student_fwd_tflops"] = flops_of(s_fwd, state.params, batch, key) / 1e12
+    rec["student_fwdbwd_ms"] = timeit(s_grad, state.params["params"], frozen, batch, key)
+    rec["student_fwdbwd_tflops"] = (
+        flops_of(s_grad, state.params["params"], frozen, batch, key) / 1e12
+    )
+
+    step_fn = make_dkt_train_step(cfg, hyper)
+    rec["full_step_ms"] = timeit(step_fn, state, batch, key, reps=2)
+    rec["full_step_tflops"] = flops_of(step_fn, state, batch, key) / 1e12
+
+    # residual: everything that is not the 2 teacher forwards or the student
+    # fwd+bwd — F&E, EMA lerp, clip, AdamW, metric reductions, fusion seams
+    rec["residual_ms"] = rec["full_step_ms"] - (
+        2 * rec["teacher_fwd_ms"] + rec["student_fwdbwd_ms"]
+    )
+    for k in ("teacher_fwd", "student_fwd", "student_fwdbwd", "full_step"):
+        ms, tf = rec[f"{k}_ms"], rec[f"{k}_tflops"]
+        if tf > 0 and ms > 0:
+            rec[f"{k}_tfs"] = tf / (ms / 1e3)
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def step_ab(cfg_dict, label, results):
+    """Full-step wall time only (for cheap config A/Bs)."""
+    from dkt_stereo_tpu.models import get_model
+    from dkt_stereo_tpu.train import DKTHyperParams, create_dkt_state, make_dkt_train_step
+
+    B, H, W = GEOM
+    hyper = DKTHyperParams(train_iters=16, teacher_iters=32, num_steps=1000)
+    _, cfg_cls, _ = get_model("RAFTStereo")
+    cfg = cfg_cls.from_dict(dict(cfg_dict))
+    batch = make_batch(B, H, W)
+    state = create_dkt_state(cfg, hyper, jax.random.PRNGKey(0), (B, H, W))
+    step_fn = make_dkt_train_step(cfg, hyper)
+    rec = {"config": label, "cfg": dict(cfg_dict), "geometry": [B, H, W]}
+    try:
+        rec["full_step_ms"] = timeit(step_fn, state, batch, jax.random.PRNGKey(1), reps=2)
+        rec["full_step_tflops"] = flops_of(step_fn, state, batch, jax.random.PRNGKey(1)) / 1e12
+    except Exception as e:
+        rec["error"] = f"{type(e).__name__}: {e}"[:400]
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    global GEOM
+    sys.path.insert(0, ".")
+    global jax, jnp
+    import jax
+
+    smoke = "--cpu-smoke" in sys.argv
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+        GEOM = (1, 32, 64)
+    import jax.numpy as jnp
+
+    globals()["jnp"] = jnp
+
+    import bench
+
+    bench._enable_compile_cache()
+
+    results: list = []
+    base = {"remat_iters": True}  # REMAT_r03 baseline config (defaults + remat)
+    if smoke:
+        base.update(
+            corr_levels=2, corr_radius=2, n_gru_layers=1, hidden_dims=(16, 16, 16)
+        )
+
+    only = next((a for a in sys.argv[1:] if not a.startswith("-")), None)
+
+    if only in (None, "attrib"):
+        phase_attribution(base, "baseline_reg", results)
+    if only in (None, "ab"):
+        step_ab({**base, "corr_implementation": "reg_cuda"}, "pallas_corr", results)
+        # pallas_encoder reaches only the test_mode teachers here (the
+        # student's XLA encoder keeps its autodiff path)
+        step_ab(
+            {**base, "corr_implementation": "reg_cuda", "pallas_encoder": True},
+            "pallas_corr_enc",
+            results,
+        )
+        step_ab(
+            {
+                **base,
+                "corr_implementation": "reg_cuda",
+                "pallas_encoder": True,
+                "scan_unroll": 2,
+            },
+            "pallas_corr_enc_unroll2",
+            results,
+        )
+    if only == "best_attrib":
+        phase_attribution(
+            {**base, "corr_implementation": "reg_cuda", "pallas_encoder": True},
+            "pallas_corr_enc",
+            results,
+        )
+
+    if not smoke:
+        with open("TRAIN_PROF_r04.json", "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote TRAIN_PROF_r04.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
