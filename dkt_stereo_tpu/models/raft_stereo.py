@@ -77,9 +77,12 @@ class RAFTStereoConfig:
     # encoder (perf mode; ~1e-3 relative feature drift). False = exact.
     fast_in_stats: bool = False
     # TPU extension: run the encoders' full-resolution section as the fused
-    # Pallas w2d kernel chain (ops/pallas/encoder_conv.py). Inference-only
-    # (the kernel has no VJP); exact instance-norm statistics; numerics
-    # match the XLA path to bf16 accumulation order.
+    # Pallas w2d kernel chain (ops/pallas/encoder_conv.py). Trainable since
+    # round 4 (encoder_stage_ad custom VJP, pinned against XLA autodiff in
+    # tests/test_pallas_encoder.py) — applies to the instance-norm fnet in
+    # both modes; cnet's train-mode BatchNorm keeps the XLA path (the fused
+    # chain only folds *static* affines). Exact instance-norm statistics;
+    # numerics match the XLA path to bf16 accumulation order.
     pallas_encoder: bool = False
     # TPU extension: rematerialize (jax.checkpoint) each refinement
     # iteration in the backward pass. Activation memory of the training
@@ -222,7 +225,7 @@ class RAFTStereo(nn.Module):
             num_layers=cfg.n_gru_layers,
             dtype=dt,
             name="cnet",
-            fused_fullres=cfg.pallas_encoder and self.test_mode,
+            fused_fullres=cfg.pallas_encoder,
         )
 
         if cfg.backbone_type == "default":
@@ -236,7 +239,7 @@ class RAFTStereo(nn.Module):
                 fnet_norm = "instance_fast" if cfg.fast_in_stats else "instance"
                 fnet = BasicEncoder(
                     256, fnet_norm, cfg.n_downsample, dtype=dt, name="fnet",
-                    fused_fullres=cfg.pallas_encoder and self.test_mode,
+                    fused_fullres=cfg.pallas_encoder,
                 )
                 fmap = fnet(jnp.concatenate([x1, x2], axis=0))
                 fmap1, fmap2 = jnp.split(fmap, 2, axis=0)

@@ -224,7 +224,7 @@ def fused_fullres_layer1(
     import functools
 
     from dkt_stereo_tpu.ops.pallas.encoder_conv import (
-        encoder_stage as _encoder_stage,
+        encoder_stage_ad as _encoder_stage,
         in_affine,
         pick_rb,
         w2d_conv3x3_weights,
@@ -309,11 +309,12 @@ class BasicEncoder(nn.Module):
     (64, 96, 128) + 1×1 head. With downsample=2 (RAFT base config) output is
     1/4 resolution; downsample=3 gives 1/8.
 
-    ``fused_fullres=True`` (inference only, instance norm, downsample=2):
-    the full-resolution section (norm1 + layer1) runs as the fused Pallas
-    w2d kernel chain (ops/pallas/encoder_conv.py) — exact instance-norm
-    statistics, one HBM round-trip per conv. Parameter tree is identical to
-    the XLA path."""
+    ``fused_fullres=True`` (instance norm, downsample=2): the
+    full-resolution section (norm1 + layer1) runs as the fused Pallas w2d
+    kernel chain (ops/pallas/encoder_conv.py) — exact instance-norm
+    statistics, one HBM round-trip per conv. Trainable since round 4
+    (encoder_stage_ad custom VJP). Parameter tree is identical to the XLA
+    path."""
 
     output_dim: int = 128
     norm_fn: str = "batch"

@@ -30,8 +30,15 @@ Bias-freedom: every conv in the fused section is followed by InstanceNorm
 (or eval-mode BatchNorm). IN(x + const_per_channel) == IN(x), so conv
 biases are dropped entirely; for BN the bias folds into the static affine.
 
-Used in inference paths only (no custom VJP); training keeps the XLA
-encoder, whose gradients are exercised by the parity tests.
+:func:`encoder_stage_ad` wraps the stage in a ``jax.custom_vjp`` so the
+fused chain is trainable (round-4; the r3 fused path was inference-only and
+the student paid the ~2× XLA encoder every train step). The backward's only
+hot op — the adjoint SAME-conv of the output cotangent with spatially
+flipped, IO-transposed dense taps — is the SAME kernel family, so it reuses
+:func:`encoder_stage` with an identity affine; everything else (masks, ReLU
+gates, per-channel affine/stat sums, the 9 dense-tap weight contractions)
+is XLA-level, where the w2d weight scatter (:func:`w2d_conv3x3_weights`)
+stays inside autodiff and its adjoint is automatic.
 """
 
 from __future__ import annotations
@@ -335,3 +342,142 @@ def encoder_stage(
     if emit_h:
         return y, s, ss, outs[3]
     return y, s, ss
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP (round 4): makes the fused chain trainable
+# ---------------------------------------------------------------------------
+
+
+def _valid_mask(Hp: int, Wcp: int, H: int, shift: int):
+    """(Hp, Wcp, 1) fp32 mask of the real image region in a framed tensor
+    whose row k holds real row ``k - shift`` (frame cells 0 and Wcp-1 are
+    the conv padding)."""
+    row = jnp.arange(Hp)[:, None, None] - shift
+    col = jnp.arange(Wcp)[None, :, None]
+    return ((row >= 0) & (row < H) & (col >= 1) & (col <= Wcp - 2)).astype(jnp.float32)
+
+
+def _flip_transpose(w_dense: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint taps of a dense w2d conv: spatial flip + IO transpose."""
+    return jnp.transpose(w_dense[::-1, ::-1], (0, 1, 3, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _stage_ad(u, a1, b1, w_dense, v, a2, b2, H, shift_in, has_res, emit_h, relu_u, interpret, rb):
+    kw = dict(H=H, shift_in=shift_in, emit_h=emit_h, relu_u=relu_u, interpret=interpret, rb=rb)
+    if has_res:
+        return encoder_stage(u, a1, b1, w_dense, v=v, a2=a2, b2=b2, **kw)
+    return encoder_stage(u, a1, b1, w_dense, **kw)
+
+
+def _stage_ad_fwd(u, a1, b1, w_dense, v, a2, b2, H, shift_in, has_res, emit_h, relu_u, interpret, rb):
+    # always emit h under differentiation: it is the backward's residual
+    # (the transformed conv input) for both the weight grad and the adjoint
+    kw = dict(H=H, shift_in=shift_in, emit_h=True, relu_u=relu_u, interpret=interpret, rb=rb)
+    if has_res:
+        y, s, ss, h = encoder_stage(u, a1, b1, w_dense, v=v, a2=a2, b2=b2, **kw)
+    else:
+        y, s, ss, h = encoder_stage(u, a1, b1, w_dense, **kw)
+    out = (y, s, ss, h) if emit_h else (y, s, ss)
+    return out, (u, a1, b1, v, a2, b2, w_dense, y, h)
+
+
+def _stage_ad_bwd(H, shift_in, has_res, emit_h, relu_u, interpret, rb, res, cts):
+    u, a1, b1, v, a2, b2, w_dense, y, h = res
+    if emit_h:
+        gy, gs, gss, gh_out = cts
+    else:
+        gy, gs, gss = cts
+        gh_out = None
+
+    B, Hp, Wcp, C2 = u.shape
+    shift_out = shift_in + 1
+    f32 = jnp.float32
+
+    # ---- cotangent of the raw conv output over the valid region:
+    # y also feeds s = Σy and ss = Σy² (per sample/channel, valid region)
+    m_out = _valid_mask(Hp, Wcp, H, shift_out)
+    g_y = gy.astype(f32) + gs[:, None, None, :] + 2.0 * y.astype(f32) * gss[:, None, None, :]
+    g_y = g_y * m_out
+
+    # ---- adjoint SAME-conv: the same kernel family with identity affine,
+    # flipped/transposed taps, input framed at shift_out. Extra bottom rows
+    # keep the last real g_h row inside the padded grid.
+    pad_n = -(-2 // rb) * rb
+    g_y_in = jnp.pad(g_y.astype(u.dtype), ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+    ones = jnp.ones((B, C2), f32)
+    zeros = jnp.zeros((B, C2), f32)
+    g_h_framed, _, _ = encoder_stage(
+        g_y_in, ones, zeros, _flip_transpose(w_dense),
+        H=H, shift_in=shift_out, relu_u=False, interpret=interpret, rb=rb,
+    )
+    # output frame = shift_out + 1 = h frame + 2: realign to h's frame
+    g_h = g_h_framed[:, 2 : 2 + Hp].astype(f32)
+    if gh_out is not None:
+        g_h = g_h + gh_out.astype(f32)
+
+    # ---- elementwise backward through mask / ReLU stack / affines
+    m_in = _valid_mask(Hp, Wcp, H, shift_in)
+    g_h = g_h * m_in
+    t1 = u.astype(f32) * a1[:, None, None, :] + b1[:, None, None, :]
+    if has_res:
+        # h = relu(relu?(t1) + relu(t2)); (h > 0) gates the outer relu
+        g_pre = g_h * (h.astype(f32) > 0)
+        t2 = v.astype(f32) * a2[:, None, None, :] + b2[:, None, None, :]
+        g_t2 = g_pre * (t2 > 0)
+        g_t1 = g_pre * (t1 > 0) if relu_u else g_pre
+        g_v = (g_t2 * a2[:, None, None, :]).astype(v.dtype)
+        g_a2 = jnp.sum(g_t2 * v.astype(f32), axis=(1, 2)).astype(a2.dtype)
+        g_b2 = jnp.sum(g_t2, axis=(1, 2)).astype(b2.dtype)
+    else:
+        g_t1 = g_h * (t1 > 0) if relu_u else g_h
+        g_v = g_a2 = g_b2 = None
+    g_u = (g_t1 * a1[:, None, None, :]).astype(u.dtype)
+    g_a1 = jnp.sum(g_t1 * u.astype(f32), axis=(1, 2)).astype(a1.dtype)
+    g_b1 = jnp.sum(g_t1, axis=(1, 2)).astype(b1.dtype)
+
+    # ---- dense-tap weight grad: 9 contractions over (B, rows, cells).
+    # h pad of 1 row each side covers taps reaching outside the frame at
+    # shift_in = 0 (top) / deep shifts (bottom); padded rows are zero so
+    # they contribute nothing (h is zero-masked outside the valid region).
+    hpad = jnp.pad(h.astype(f32), ((0, 0), (1, 1), (0, 0), (0, 0)))
+    Wc = Wcp - 2
+    gy_val = g_y[:, shift_out : shift_out + H, 1 : 1 + Wc, :]
+    g_w = jnp.zeros(w_dense.shape, f32)
+    for dr in range(3):
+        for dc in range(3):
+            # g_y real row ρ (frame shift_out) reads h real row ρ + dr - 1,
+            # which sits at hpad row ρ + shift_in + dr (after the +1 pad)
+            hw = hpad[:, shift_in + dr : shift_in + dr + H, dc : dc + Wc, :]
+            g_w = g_w.at[dr, dc].set(
+                jax.lax.dot_general(
+                    hw, gy_val,
+                    dimension_numbers=((((0, 1, 2), (0, 1, 2))), ((), ())),
+                    preferred_element_type=f32,
+                )
+            )
+    g_w = g_w.astype(w_dense.dtype)
+
+    return g_u, g_a1, g_b1, g_w, g_v, g_a2, g_b2
+
+
+_stage_ad.defvjp(_stage_ad_fwd, _stage_ad_bwd)
+
+
+def encoder_stage_ad(
+    u, a1, b1, w_dense, *, H, shift_in,
+    v=None, a2=None, b2=None,
+    emit_h=False, relu_u=True, interpret=False, rb=None,
+):
+    """:func:`encoder_stage` with a custom VJP — same signature/returns.
+
+    Under plain evaluation this is exactly the forward kernel (the ``h``
+    residual is only emitted when JAX runs the fwd rule, i.e. under
+    differentiation), so inference cost is unchanged.
+    """
+    RB = rb if rb is not None else R_BLOCK
+    return _stage_ad(
+        u, a1, b1, w_dense, v, a2, b2,
+        H, shift_in, v is not None, emit_h, relu_u, interpret, RB,
+    )

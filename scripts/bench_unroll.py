@@ -21,6 +21,10 @@ def main():
     sys.path.insert(0, ".")
     import dataclasses
 
+    import bench
+
+    bench._enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +47,14 @@ def main():
 
         fwd = jax.jit(lambda p, a, b, m=model: m.apply(p, a, b)[1])
         for _ in range(3):
-            np.asarray(fwd(params, img1, img2))
+            out = np.asarray(fwd(params, img1, img2))
+        # adoption gate: unrolling shares the same step submodule/params, so
+        # the disparity must be BIT-identical to the k=1 run
+        if k == 1:
+            ref_out = out
+            max_abs = 0.0
+        else:
+            max_abs = float(np.max(np.abs(out - ref_out)))
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
@@ -51,7 +62,16 @@ def main():
                 out = fwd(params, img1, img2)
             np.asarray(out)
             best = min(best, (time.perf_counter() - t0) / 10)
-        print(json.dumps({"scan_unroll": k, "fps": round(1.0 / best, 3)}), flush=True)
+        print(
+            json.dumps(
+                {
+                    "scan_unroll": k,
+                    "fps": round(1.0 / best, 3),
+                    "max_abs_vs_unroll1": max_abs,
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
