@@ -182,6 +182,7 @@ def _stage_kernel(
     has_res: bool,
     emit_h: bool,
     relu_u: bool,
+    hi_prec: bool = False,
 ):
     refs = list(refs)
     u_ref, a1_ref, b1_ref = refs[:3]  # (1,RB,Wcp,C2), (1,1,C2), (1,1,C2)
@@ -240,6 +241,12 @@ def _stage_kernel(
                 w_ref[dr, dc],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # fp32 activations (parity/validation mode): true-f32 MXU
+                # passes — at DEFAULT the MXU truncates f32 operands to
+                # bf16 mantissas, and the dense-w2d reformulation then
+                # rounds differently from the XLA conv it is compared to
+                # (bf16 shipped path: one pass either way, unaffected)
+                precision=jax.lax.Precision.HIGHEST if hi_prec else None,
             )
 
     # ---- mask to valid OUTPUT rows, frame with zero cells, emit stats
@@ -304,6 +311,7 @@ def encoder_stage(
         has_res=has_res,
         emit_h=emit_h,
         relu_u=relu_u,
+        hi_prec=u.dtype == jnp.float32,
     )
 
     blk = pl.BlockSpec((1, RB, Wcp, C2), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)

@@ -167,13 +167,14 @@ def _analytic(results: dict):
 
     # measured single-chip step time at the same geometry (chip evidence)
     step_ms = None
-    if os.path.exists("REMAT_r03.json"):
+    for art in ("REMAT_r04.json", "REMAT_r03.json"):
+        if step_ms is not None or not os.path.exists(art):
+            continue
         try:
-            rem = json.load(open("REMAT_r03.json"))
+            rem = json.load(open(art))
             rows = rem if isinstance(rem, list) else rem.get("rows", rem.get("results", []))
-            # prefer the remat=True row: at reference train geometry the
-            # no-remat step does not compile at all (HBM OOM is the remat
-            # finding), so the remat step IS the real single-chip step time
+            # prefer the remat=True row: the shipped training recipe
+            # remats, so the remat step IS the real single-chip step time
             for r in sorted(
                 (r for r in rows if r.get("model") == "RAFTStereo" and "step_ms" in r),
                 key=lambda r: not r.get("remat"),
@@ -181,7 +182,7 @@ def _analytic(results: dict):
                 step_ms = float(r["step_ms"])
                 break
         except Exception as e:
-            print(f"REMAT_r03.json unreadable: {e}", file=sys.stderr)
+            print(f"{art} unreadable: {e}", file=sys.stderr)
     if step_ms is None and flops:
         # fall back to the FLOP estimate at the measured matmul rate — an
         # UNDERestimate of step time (bandwidth-bound ops run below it), so

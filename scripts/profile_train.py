@@ -85,9 +85,16 @@ def phase_attribution(cfg_dict, label, results):
     teacher = model_cls(cfg, iters=hyper.teacher_iters, test_mode=True)
     student = model_cls(cfg, iters=hyper.train_iters, test_mode=False)
 
-    t_fwd = jax.jit(lambda p, b: teacher.apply(p, b["img1_clean"], b["img2_clean"])[1])
+    # scalar-output protocol (as scripts/profile_update.py): returning the
+    # disparity stacks would time the axon tunnel download (115 MB for the
+    # student's 16 upsampled preds ≈ +1.7 s), not the compute
+    t_fwd = jax.jit(
+        lambda p, b: jnp.sum(teacher.apply(p, b["img1_clean"], b["img2_clean"])[1])
+    )
     s_fwd = jax.jit(
-        lambda p, b, k: student.apply(p, b["img1"], b["img2"], rngs={"mix": k})["disp_preds"]
+        lambda p, b, k: jnp.sum(
+            student.apply(p, b["img1"], b["img2"], rngs={"mix": k})["disp_preds"]
+        )
     )
 
     def loss_fn(trainable, frozen, b, k):
