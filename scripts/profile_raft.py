@@ -42,7 +42,9 @@ def main():
     from dkt_stereo_tpu.ops.corr import corr_pyramid, corr_volume
 
     fast = "--exact" not in sys.argv
-    cfg = RAFTStereoConfig(corr_implementation="reg_cuda", fast_in_stats=fast)
+    # round 4: profile the SHIPPED headline config (configs/raft_stereo/
+    # pallas.json): fused Pallas encoder + exact IN stats; --exact keeps it
+    cfg = RAFTStereoConfig(corr_implementation="reg_cuda", pallas_encoder=True)
     B, H, W = 1, 736, 1280
     rng = np.random.default_rng(0)
     img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
@@ -59,16 +61,19 @@ def main():
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((B, 64, 64, 3)), jnp.zeros((B, 64, 64, 3))
         )
-        fwd = jax.jit(lambda p, a, b: model.apply(p, a, b)[1])
+        # scalar output: returning the full-res disparity would time the
+        # axon tunnel download (~3.7 MB), not the compute
+        fwd = jax.jit(lambda p, a, b: jnp.sum(model.apply(p, a, b)[1]))
         results[f"model_iters{iters}"] = timeit(fwd, params, img1, img2)
 
     per_iter = (results["model_iters32"] - results["model_iters2"]) / 30.0
     results["per_iter"] = per_iter
     results["fixed_cost"] = results["model_iters2"] - 2 * per_iter
 
-    # fnet alone (dual-image batch, as the model runs it)
+    # fnet alone (dual-image batch, as the model runs it; fused w2d chain)
     fnet_norm = "instance_fast" if fast else "instance"
-    fnet = BasicEncoder(256, fnet_norm, cfg.n_downsample, dtype=dt)
+    fnet = BasicEncoder(256, "instance", cfg.n_downsample, dtype=dt,
+                        fused_fullres=cfg.pallas_encoder)
     fp = fnet.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3), dt))
     f_fwd = jax.jit(lambda p, x: jnp.sum(fnet.apply(p, x)))  # scalar out: avoid tunnel download cost
     results["fnet_dual"] = timeit(f_fwd, fp, x12)

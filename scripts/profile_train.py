@@ -35,8 +35,17 @@ def _sync(x):
 
 
 def timeit(fn, *args, reps=3, warm=1):
-    for _ in range(warm):
-        _sync(fn(*args))
+    # the axon remote-compile helper occasionally drops the connection
+    # ("response body closed before all bytes were read") — retry once
+    for attempt in range(2):
+        try:
+            for _ in range(warm):
+                _sync(fn(*args))
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(30)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)

@@ -40,60 +40,87 @@ def main():
     # chains amplify to ~1e-1 leaf divergence (measured; neither side is
     # "right" at DEFAULT). The shipped bf16 path is a genuine bf16-vs-bf16
     # comparison and needs no override.
-    for case, (B, H, W), dtype, tol, prec in [
-        ("fp32_320x704_highest", (2, 320, 704), jnp.float32, 1e-2, "highest"),
-        ("bf16_320x704", (2, 320, 704), jnp.bfloat16, 2e-1, None),
-    ]:
-        jax.config.update("jax_default_matmul_precision", prec)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.standard_normal((B, H, W, 3)).astype(np.float32))
-        ref = BasicEncoder(256, "instance", 2, dtype=dtype)
-        fused = BasicEncoder(256, "instance", 2, dtype=dtype, fused_fullres=True)
-        params = ref.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    B, H, W = 2, 320, 704
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, H, W, 3)).astype(np.float32))
 
-        def loss(m):
-            return lambda p, xx: jnp.sum(m.apply(p, xx).astype(jnp.float32) ** 2) / (H * W)
+    def grads(dtype, fused_flag):
+        m = BasicEncoder(256, "instance", 2, dtype=dtype, fused_fullres=fused_flag)
+        params = BasicEncoder(256, "instance", 2, dtype=dtype).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+        loss = lambda p, xx: jnp.sum(m.apply(p, xx).astype(jnp.float32) ** 2) / (H * W)
+        return jax.jit(jax.grad(loss))(params, x)
 
-        g0 = jax.jit(jax.grad(loss(ref)))(params, x)
-        g1 = jax.jit(jax.grad(loss(fused)))(params, x)
-        leaves0 = jax.tree_util.tree_leaves_with_path(g0)
-        gmax = max(float(np.abs(np.asarray(a, np.float32)).max()) for _, a in leaves0)
-        worst, worst_leaf = 0.0, None
-        zero_ok = True
-        for (path, a), b in zip(leaves0, jax.tree_util.tree_leaves(g1)):
+    def is_zero_bias(key):
+        # conv-bias grads are mathematically ZERO for every conv that feeds
+        # an InstanceNorm (shift invariance cancels the bias) — ALL convs in
+        # this encoder except the final un-normed 1×1 head ("conv2" at top
+        # level). The fused section returns exact 0; elsewhere both paths
+        # return rounding noise, so relative comparison is noise-vs-noise.
+        return "['bias']" in key and not (
+            "['conv2']['bias']" in key and "layer" not in key
+        )
+
+    def worst_rel(gref, g, gmax):
+        worst, worst_leaf, zero_ok = 0.0, None, True
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(gref), jax.tree_util.tree_leaves(g)
+        ):
             key = jax.tree_util.keystr(path)
             a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
-            # conv-bias grads inside the fused section are mathematically
-            # ZERO (instance norm is shift-invariant, so the bias cancels):
-            # the fused path returns exact 0 while the XLA path returns
-            # bf16 rounding noise — compare these leaves ABSOLUTELY (both
-            # must be ≤2% of the global grad scale), not relatively
-            fused_bias = ("['conv1']['bias']" in key and "layer" not in key) or (
-                "['layer1']" in key and "['bias']" in key
-            )
-            if fused_bias:
+            if is_zero_bias(key):
                 zero_ok &= float(np.abs(b).max()) <= 2e-2 * gmax
-                zero_ok &= float(np.abs(a).max()) <= 2e-2 * gmax
                 continue
             scale = max(float(np.abs(a).max()), 1e-2 * gmax)
             d = float(np.abs(a - b).max() / scale)
             if d > worst:
-                worst, worst_leaf = d, jax.tree_util.keystr(path)
-        rows.append(
-            {
-                "kernel": "encoder_conv_vjp",
-                "case": case,
-                "worst_rel_leaf_err": worst,
-                "worst_leaf": worst_leaf,
-                "bound": tol,
-                "ok": worst < tol and zero_ok,
-                "math_zero_bias_leaves_ok": zero_ok,
-                "geometry": [B, H, W],
-                "grad_scale": gmax,
-            }
-        )
-        print(json.dumps(rows[-1]), flush=True)
+                worst, worst_leaf = d, key
+        return worst, worst_leaf, zero_ok
+
+    # ---- fp32 case: both sides at matmul precision HIGHEST — at DEFAULT
+    # the MXU truncates f32 operands to bf16 mantissas and the dense-w2d
+    # reformulation rounds differently from the XLA conv, which the IN
+    # chains amplify to ~1e-1 leaf divergence (measured; neither side is
+    # "right" at DEFAULT). This run is also the TRUTH for the bf16 case.
+    jax.config.update("jax_default_matmul_precision", "highest")
+    truth = grads(jnp.float32, False)
+    gmax = max(
+        float(np.abs(np.asarray(a, np.float32)).max())
+        for a in jax.tree_util.tree_leaves(truth)
+    )
+    g_fused32 = grads(jnp.float32, True)
+    worst, leaf, zero_ok = worst_rel(truth, g_fused32, gmax)
+    rows.append(
+        {
+            "kernel": "encoder_conv_vjp", "case": "fp32_320x704_highest",
+            "worst_rel_leaf_err": worst, "worst_leaf": leaf, "bound": 1e-2,
+            "ok": worst < 1e-2 and zero_ok, "math_zero_bias_leaves_ok": zero_ok,
+            "geometry": [B, H, W], "grad_scale": gmax,
+        }
+    )
+    print(json.dumps(rows[-1]), flush=True)
+
+    # ---- bf16 case (the shipped mixed-precision path): bf16-vs-bf16 is
+    # noise-vs-noise through the IN chains, so instead measure EACH path's
+    # deviation from the fp32-HIGHEST truth — the fused path must not be
+    # meaningfully noisier than the XLA path it replaces.
     jax.config.update("jax_default_matmul_precision", None)
+    dev_xla = worst_rel(truth, grads(jnp.bfloat16, False), gmax)
+    dev_fused = worst_rel(truth, grads(jnp.bfloat16, True), gmax)
+    ok = dev_fused[0] <= 2.0 * dev_xla[0] + 1e-3 and dev_fused[2]
+    rows.append(
+        {
+            "kernel": "encoder_conv_vjp", "case": "bf16_320x704_vs_fp32_truth",
+            "xla_bf16_dev_from_truth": dev_xla[0],
+            "fused_bf16_dev_from_truth": dev_fused[0],
+            "worst_leaf": dev_fused[1],
+            "bound": "fused_dev <= 2*xla_dev + 1e-3",
+            "ok": ok, "math_zero_bias_leaves_ok": dev_fused[2],
+            "geometry": [B, H, W],
+        }
+    )
+    print(json.dumps(rows[-1]), flush=True)
 
     out = {
         "protocol": "compiled (Mosaic) fused-encoder grads vs XLA-encoder "
