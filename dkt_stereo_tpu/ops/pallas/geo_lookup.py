@@ -19,10 +19,15 @@ Mosaic-shaped design notes (each constraint was hit in practice):
     8·320·(384+320)·4·2(double-buffer) ≈ 19MB and Mosaic's 16MB scoped-VMEM
     allocator rejects the kernel — caught compiled-on-chip by
     scripts/validate_kernels.py, invisible in interpret mode;
-  - the one-hot matmuls run at Precision.HIGHEST: the operands are fp32
-    values (not just 0/1 selectors on one side), and the MXU default rounds
-    fp32 operands to bf16 — ~4e-3 relative error vs the XLA path's
-    fp32-correlation policy (ops/corr.py precision note).
+  - the one-hot matmuls need fp32-faithful products: one operand is fp32
+    VALUES (geo·w), and the MXU default rounds fp32 operands to bf16 —
+    ~4e-3 relative error vs the XLA path's fp32-correlation policy.
+    Precision.HIGHEST fixes that but runs SIX MXU passes — measured
+    128 ms/32-iter at eval geometry, 49 ms at DEFAULT (round 4). The
+    :func:`_dot_f32` bf16×2 split (hi = bf16(x), lo = x − hi; both
+    operands exactly representable, fp32 accumulation) reproduces the
+    fp32 product to ~2⁻¹⁸ relative in TWO passes — exactness of HIGHEST
+    at near-DEFAULT speed (the 0/1 selector side is already exact).
 
 VJP returns gradients for both pyramids (disp/coords are detached each
 iteration, igev_stereo.py:201).
@@ -46,6 +51,21 @@ from dkt_stereo_tpu.ops.pallas.corr_lookup import _pick_rows
 _VMEM_BYTES = 3_400_000
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _dot_f32(x, m):
+    """fp32-faithful ``x @ m`` in two DEFAULT-precision MXU passes.
+
+    hi = bf16(x) is exactly representable (truncation is the identity on
+    it), lo = x − hi carries the remaining ~8 mantissa bits; both dots
+    accumulate in fp32, so the sum matches Precision.HIGHEST to ~2⁻¹⁸
+    relative at a third of its pass count. ``m`` (0/1 one-hots here) is
+    exactly representable by construction."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    return jnp.dot(hi, m, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, m, preferred_element_type=jnp.float32
+    )
 
 
 def _perm_kc_to_ck(taps: int, C: int) -> jnp.ndarray:
@@ -76,13 +96,9 @@ def _fwd_level_kernel(disp_ref, coords_ref, geo_ref, corr_ref, out_ref,
         for k in range(taps):
             pos = x[:, None] + (k - radius)
             w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)
-            geo_taps.append(
-                jnp.dot(geo_flat * w, sel, preferred_element_type=jnp.float32,
-                        precision=_HI)
-            )
+            geo_taps.append(_dot_f32(geo_flat * w, sel))
         g_km = jnp.concatenate(geo_taps, axis=-1)  # k-major (W1, taps*C)
-        g = jnp.dot(g_km, _perm_kc_to_ck(taps, C),
-                    preferred_element_type=jnp.float32, precision=_HI)
+        g = _dot_f32(g_km, _perm_kc_to_ck(taps, C))
 
         corr = corr_ref[r].astype(jnp.float32)  # (W1, W2)
         W2 = corr.shape[-1]
@@ -121,18 +137,13 @@ def _bwd_geo_kernel(disp_ref, g_ref, dgeo_ref, radius: int, level: int, C: int):
             == (jflat % C)[0][None, :]
         ).astype(jnp.float32)  # (C, DC)
         x = disp_ref[r, :, 0].astype(jnp.float32) * scale
-        g_km = jnp.dot(
-            g_all, _perm_kc_to_ck(taps, C).T,
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # (W1, taps*C) k-major
+        g_km = _dot_f32(g_all, _perm_kc_to_ck(taps, C).T)  # (W1, taps*C) k-major
         acc = jnp.zeros((W1, DC), jnp.float32)
         for k in range(taps):
             pos = x[:, None] + (k - radius)
             w = jnp.maximum(1.0 - jnp.abs(jd - pos), 0.0)
             g_k = g_km[:, k * C : (k + 1) * C]
-            acc = acc + w * jnp.dot(
-                g_k, selT, preferred_element_type=jnp.float32, precision=_HI
-            )
+            acc = acc + w * _dot_f32(g_k, selT)
         dgeo_ref[r] = acc.astype(dgeo_ref.dtype)
 
 
