@@ -5,7 +5,7 @@ The CPU suite pins encoder_stage_ad's VJP in interpret mode
 model-level vs the XLA encoder at 4e-3 rel); this script repeats the
 model-level comparison COMPILED on the real chip at a training-scale
 geometry — the same interpret-vs-Mosaic gap that bit three kernels in
-round 3 (VERDICT r3). Writes ENCODER_VJP_r04.json.
+round 3 (VERDICT r3). Writes ENCODER_VJP_r05.json.
 
 Run: nohup python scripts/validate_encoder_vjp.py > /tmp/enc_vjp.log 2>&1 &
 (compiles are minutes on the axon tunnel).
@@ -130,7 +130,7 @@ def main():
         "all_ok": all(r["ok"] for r in rows),
         "wall_s": round(time.perf_counter() - t0, 1),
     }
-    with open("ENCODER_VJP_r04.json", "w") as f:
+    with open("ENCODER_VJP_r05.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"all_ok": out["all_ok"]}), flush=True)
 
