@@ -45,6 +45,10 @@ def main(argv=None):
     import jax.numpy as jnp
     from PIL import Image
 
+    from dkt_stereo_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from dkt_stereo_tpu.cli.config import load_model_config
     from dkt_stereo_tpu.data.readers import read_image_rgb
     from dkt_stereo_tpu.eval.validate import make_forward_fn, _run_one

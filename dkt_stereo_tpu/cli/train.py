@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--train_iters", type=int, default=16)
     p.add_argument("--wdecay", type=float, default=1e-5)
     p.add_argument("--cascade_train", action="store_true")
+    p.add_argument("--batched_teachers", action="store_true",
+                   help="run the frozen+EMA teacher forwards as one vmapped "
+                        "program (identical math up to float reassociation; "
+                        "also enabled by batched_teachers:true in --config)")
     p.add_argument("--ema_decay", type=float, default=0.99999)
     p.add_argument("--clamp", type=float, default=1.0)
     p.add_argument("--tau_gt", type=float, default=3.0)
@@ -114,6 +118,10 @@ def train(args) -> str:
     import jax
     import jax.numpy as jnp
 
+    from dkt_stereo_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from dkt_stereo_tpu.cli.config import load_model_config, merge_config
     from dkt_stereo_tpu.data.datasets import fetch_dataset
     from dkt_stereo_tpu.data.loader import StereoLoader
@@ -136,7 +144,10 @@ def train(args) -> str:
     from dkt_stereo_tpu.utils.logging import Logger
 
     config = load_model_config(args.config)
-    merge_config(args, config)  # strict-disjoint check (ft_dkt.py:347-350)
+    # strict-disjoint check (ft_dkt.py:347-350); batched_teachers may come
+    # from EITHER surface (recipe configs ship it true, the CLI flag turns it
+    # on over a parity config) — the explicit `or` below resolves the union
+    merge_config(args, config, allow=("batched_teachers",))
     if getattr(args, "remat", False):
         config["remat_iters"] = True
     model_cls, cfg_cls, _loss = get_model(config["model"])
@@ -159,6 +170,8 @@ def train(args) -> str:
         tau_pl=args.tau_pl,
         clamp=args.clamp,
         cascade_train=args.cascade_train,
+        batched_teachers=args.batched_teachers
+        or bool(config.get("batched_teachers", False)),
     )
 
     num_hosts = jax.process_count()
