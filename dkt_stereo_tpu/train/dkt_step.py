@@ -117,7 +117,21 @@ def make_dkt_train_step(
     if loss_adapter is None:
         loss_adapter = lambda out, gt, v: sequence_loss_raft(out["disp_preds"], gt, v)
     student = model_cls(cfg, iters=hyper.train_iters, test_mode=False)
-    teacher = model_cls(cfg, iters=hyper.teacher_iters, test_mode=True)
+    teacher_cfg = cfg
+    if hyper.batched_teachers and getattr(cfg, "pallas_encoder", False):
+        # The vmapped dual-teacher forward composes with the Pallas corr
+        # kernels (their operands carry the teacher axis at dim 0, which
+        # Mosaic lowers as a squeezed grid dim) but NOT with the fused w2d
+        # encoder: its (B, Hp, Wcp, C2) stream gets the vmap axis inserted
+        # second-to-last, where Mosaic's (8, 128) tiling rule rejects a
+        # squeezed block. The teachers therefore run the XLA encoder —
+        # perf-neutral at training crops (docs/PERF.md round 4: the fused
+        # encoder's value is full-resolution work, and the teacher batch is
+        # already amortized by the vmap); the param tree is identical.
+        import dataclasses as _dc
+
+        teacher_cfg = _dc.replace(cfg, pallas_encoder=False)
+    teacher = model_cls(teacher_cfg, iters=hyper.teacher_iters, test_mode=True)
     tx, schedule = make_optimizer(hyper)
 
     def step_fn(state: DKTTrainState, batch: dict, key: jax.Array):
@@ -126,9 +140,26 @@ def make_dkt_train_step(
         # 1. EMA update (pre-forward, ft_dkt.py:179)
         ema_params = ema_update(state.ema_params, state.params, hyper.ema_decay)
 
-        # 2. teacher pseudo-labels on clean images (no grad)
-        _, disp_pl = teacher.apply(state.teacher_params, batch["img1_clean"], batch["img2_clean"])
-        _, disp_ema = teacher.apply(ema_params, batch["img1_clean"], batch["img2_clean"])
+        # 2. teacher pseudo-labels on clean images (no grad). The reference
+        # issues two sequential forwards only because DataParallel forces
+        # python-level calls (ft_dkt.py:193-199); with batched_teachers the
+        # frozen and EMA teachers run as ONE vmapped program over their
+        # stacked param trees — one compile, and the latency-bound
+        # small-spatial GRU convs are amortized across both teachers
+        # (grouped-conv lowering; identical math up to float reassociation).
+        if hyper.batched_teachers:
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), state.teacher_params, ema_params
+            )
+            disp_both = jax.vmap(
+                lambda p: teacher.apply(p, batch["img1_clean"], batch["img2_clean"])[1]
+            )(stacked)
+            disp_pl, disp_ema = disp_both[0], disp_both[1]
+        else:
+            _, disp_pl = teacher.apply(
+                state.teacher_params, batch["img1_clean"], batch["img2_clean"]
+            )
+            _, disp_ema = teacher.apply(ema_params, batch["img1_clean"], batch["img2_clean"])
         disp_pl = jax.lax.stop_gradient(disp_pl)
         disp_ema = jax.lax.stop_gradient(disp_ema)
         valid_pl = jnp.ones_like(disp_pl)

@@ -33,6 +33,16 @@ class DKTHyperParams:
     clamp: float = 1.0
     pl_weight: float = 1.0  # ft_dkt.py:234 "loss_PL * 1.0"
     cascade_train: bool = False
+    # Run the frozen + EMA teacher forwards as ONE vmapped call over their
+    # stacked param trees instead of two sequential applies.  The reference
+    # runs them separately only because DataParallel forces two python calls
+    # (tools/ft_dkt.py:193-199); on TPU one batched program amortizes the
+    # latency-bound small-spatial GRU convs across both teachers (XLA lowers
+    # the vmapped convs to grouped convs / batched dots on the MXU).  Math
+    # is identical up to float reassociation (tests/test_dkt.py pins slot
+    # independence and closeness to the sequential path); default False so
+    # the reference-parity config stays bit-comparable.
+    batched_teachers: bool = False
 
 
 def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.01):

@@ -317,3 +317,62 @@ def test_dkt_skipped_step_keeps_schedule_position(rng):
     # the good step ran at schedule position 0, not schedule(state.step)=1
     np.testing.assert_allclose(float(m2["learning_rate"]), float(schedule(0)))
     assert int(applied_step_count(state2.opt_state)) == 1
+
+
+def test_dkt_train_step_batched_teachers(rng):
+    """batched_teachers=True runs the frozen+EMA teacher forwards as ONE
+    vmapped program (train/dkt_step.py step 2). Pins (a) slot independence —
+    with teacher==EMA params both vmap slots are bit-identical, so neither
+    slot leaks into the other — and (b) closeness to the sequential path:
+    XLA lowers the vmapped convs to grouped convs whose float reassociation
+    differs from the unbatched lowering by ~1e-6 relative per op, so the
+    post-step params must agree to within the first-step AdamW move
+    (≈ lr0·sign(g)); a slot swap or a broadcast bug would blow both bounds."""
+    cfg = RAFTStereoConfig(mixed_precision=False, context_norm="instance")
+    B, H, W = 1, 32, 64
+    batch = {
+        "img1": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img1_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "img2_clean": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "flow": jnp.asarray(-rng.uniform(0, 20, (B, H, W)).astype(np.float32)),
+        "valid": jnp.ones((B, H, W), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    hyper_seq = DKTHyperParams(train_iters=2, teacher_iters=2, num_steps=100)
+    hyper_bat = DKTHyperParams(
+        train_iters=2, teacher_iters=2, num_steps=100, batched_teachers=True
+    )
+    state = create_dkt_state(cfg, hyper_seq, jax.random.PRNGKey(0), (B, H, W))
+
+    # (a) slot independence: teacher/EMA/student all start from the same
+    # weights, so inside the batched step the two vmap slots carry identical
+    # params and must produce identical pseudo-labels — loss_GT/loss_PL see
+    # the same F&E inputs as the sequential path up to pure reassociation.
+    from dkt_stereo_tpu.models import RAFTStereo
+
+    teacher = RAFTStereo(cfg, iters=2, test_mode=True)
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a, a]), state.teacher_params
+    )
+    d_both = jax.jit(
+        jax.vmap(lambda p: teacher.apply(p, batch["img1_clean"], batch["img2_clean"])[1])
+    )(stacked)
+    np.testing.assert_array_equal(np.asarray(d_both[0]), np.asarray(d_both[1]))
+
+    s_seq, m_seq = make_dkt_train_step(cfg, hyper_seq)(state, batch, key)
+    s_bat, m_bat = make_dkt_train_step(cfg, hyper_bat)(state, batch, key)
+    assert float(m_bat["ok"]) == 1.0
+
+    # (b) the two paths see teacher outputs differing only by reassociation
+    # noise; losses and the post-step parameter move must agree.
+    np.testing.assert_allclose(
+        float(m_bat["loss"]), float(m_seq["loss"]), rtol=1e-3
+    )
+    lr0 = hyper_seq.lr / 25.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_bat.params["params"]),
+        jax.tree_util.tree_leaves(s_seq.params["params"]),
+    ):
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 2.5 * lr0
