@@ -24,10 +24,13 @@ Mosaic-shaped design notes (each constraint was hit in practice):
     ~4e-3 relative error vs the XLA path's fp32-correlation policy.
     Precision.HIGHEST fixes that but runs SIX MXU passes — measured
     128 ms/32-iter at eval geometry, 49 ms at DEFAULT (round 4). The
-    :func:`_dot_f32` bf16×2 split (hi = bf16(x), lo = x − hi; both
-    operands exactly representable, fp32 accumulation) reproduces the
-    fp32 product to ~2⁻¹⁸ relative in TWO passes — exactness of HIGHEST
-    at near-DEFAULT speed (the 0/1 selector side is already exact).
+    :func:`_dot_f32` bf16×2 split (hi = bf16(x), lo = x − hi, fp32
+    accumulation) runs TWO passes instead: hi and the 0/1 selector side
+    are exactly representable, while lo still loses ~8 mantissa bits to
+    the MXU's bf16 operand truncation, so the product is reproduced to
+    ~2⁻¹⁸ relative — NOT bit-exact fp32. This deliberately relaxes the
+    earlier exact-HIGHEST path for near-DEFAULT speed; the ~2⁻¹⁸ bound
+    sits far inside the 1e-4 KERNELS_r04 validation bound.
 
 VJP returns gradients for both pyramids (disp/coords are detached each
 iteration, igev_stereo.py:201).

@@ -2,7 +2,7 @@
 reference eval protocols: 32 GRU iterations for the iterative models
 (tools/evaluate_stereo.py:128-133 timing semantics: warm-up excluded,
 device-synced), single shot for GWCNet/CGI). Prints one JSON line per model
-and writes BENCH_MODELS_r03.json."""
+and writes BENCH_MODELS_r05.json."""
 
 from __future__ import annotations
 
@@ -68,9 +68,9 @@ def main():
                     "policy) as shipped in configs/*/pallas.json",
         "rows": rows,
     }
-    with open("BENCH_MODELS_r03.json", "w") as f:
+    with open("BENCH_MODELS_r05.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"written": "BENCH_MODELS_r03.json"}))
+    print(json.dumps({"written": "BENCH_MODELS_r05.json"}))
 
 
 if __name__ == "__main__":

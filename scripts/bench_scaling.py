@@ -1,4 +1,4 @@
-"""DP scaling evidence → SCALING_r03.json (BASELINE.md: ≥85% DP efficiency).
+"""DP scaling evidence → SCALING_r05.json (BASELINE.md: ≥85% DP efficiency).
 
 Round-2's single-shot virtual-mesh ratios were dominated by XLA-CPU
 scheduling noise (sub-1.0 "overheads"); this version produces evidence that
@@ -23,7 +23,7 @@ holds up:
 
 Run:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python scripts/bench_scaling.py            # writes SCALING_r03.json
+        python scripts/bench_scaling.py            # writes SCALING_r05.json
 """
 
 from __future__ import annotations
@@ -165,8 +165,31 @@ def _analytic(results: dict):
     except Exception as e:
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
-    # measured single-chip step time at the same geometry (chip evidence)
-    step_ms = None
+    # measured single-chip step time at the same geometry (chip evidence).
+    # Source order: the SHIPPED recipe's measured step (TRAIN_PROF:
+    # batched-teachers + Pallas corr + fused encoder — what a user actually
+    # runs), then the remat-row step from REMAT_rN. Round-3's artifact
+    # amortized against the 13.4 s pre-Pallas step, 10x stale by round 4;
+    # recording the source makes that staleness visible in the artifact.
+    step_ms, step_src = None, None
+    for art in ("TRAIN_PROF_r05.json",):
+        if step_ms is not None or not os.path.exists(art):
+            continue
+        try:
+            rows = json.load(open(art))
+            pref = [
+                "pallas_corr_enc_batched_teachers_attrib",
+                "pallas_corr_enc_batched_teachers",
+                "pallas_corr_enc",
+            ]
+            by_label = {r.get("config"): r for r in rows if "full_step_ms" in r}
+            for label in pref:
+                if label in by_label:
+                    step_ms = float(by_label[label]["full_step_ms"])
+                    step_src = f"{art}:{label}"
+                    break
+        except Exception as e:
+            print(f"{art} unreadable: {e}", file=sys.stderr)
     for art in ("REMAT_r04.json", "REMAT_r03.json"):
         if step_ms is not None or not os.path.exists(art):
             continue
@@ -180,6 +203,7 @@ def _analytic(results: dict):
                 key=lambda r: not r.get("remat"),
             ):
                 step_ms = float(r["step_ms"])
+                step_src = f"{art}:remat_row"
                 break
         except Exception as e:
             print(f"{art} unreadable: {e}", file=sys.stderr)
@@ -221,6 +245,7 @@ def _analytic(results: dict):
         "param_count": p_count,
         "grad_bytes_fp32": grad_bytes,
         "step_flops_cost_analysis": flops,
+        "step_ms_source": step_src,
         "rows": rows,
     }
     for r in rows:
@@ -260,7 +285,7 @@ def main():
                   "quoted in the rows is conditional on the step time "
                   "they cite)",
     }
-    out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "SCALING_r04.json"
+    out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "SCALING_r05.json"
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({"written": out_path, "met": ok}))

@@ -170,6 +170,20 @@ def main():
     for k, v in results.items():
         print(json.dumps({"stage": k, "ms": round(float(v), 2)}), flush=True)
 
+    if not smoke:
+        with open("IGEV_PROF_r05.json", "w") as f:
+            json.dump(
+                {
+                    "protocol": "per-stage isolation at eval geometry "
+                    "(736x1280, 32 iters, test mode), scalar-output sync. "
+                    "Reference: meta_arch/igev_stereo/igev_stereo.py:120-222.",
+                    "stages_ms": {k: round(float(v), 2) for k, v in results.items()},
+                },
+                f,
+                indent=1,
+            )
+        print("wrote IGEV_PROF_r05.json", flush=True)
+
 
 if __name__ == "__main__":
     main()

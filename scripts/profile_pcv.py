@@ -194,6 +194,23 @@ def main():
     for k, v in results.items():
         print(json.dumps({"stage": k, "ms": round(float(v), 2)}), flush=True)
 
+    if not smoke:
+        import json as _json
+
+        with open("PCV_PROF_r05.json", "w") as f:
+            _json.dump(
+                {
+                    "protocol": "per-stage isolation at eval geometry "
+                    "(736x1280, 32 iters, test mode, reg_cuda), scalar-output "
+                    "sync; full-model iteration sweep gives the fixed/per-iter "
+                    "split. Reference: meta_arch/pcvnet/model.py:75-196.",
+                    "stages_ms": {k: round(float(v), 2) for k, v in results.items()},
+                },
+                f,
+                indent=1,
+            )
+        print("wrote PCV_PROF_r05.json", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,9 +41,10 @@ def main():
     from dkt_stereo_tpu.nn.blocks import BasicEncoder, MultiBasicEncoder
     from dkt_stereo_tpu.ops.corr import corr_pyramid, corr_volume
 
-    fast = "--exact" not in sys.argv
-    # round 4: profile the SHIPPED headline config (configs/raft_stereo/
-    # pallas.json): fused Pallas encoder + exact IN stats; --exact keeps it
+    # profiles the SHIPPED headline config (configs/raft_stereo/pallas.json):
+    # fused Pallas encoder + exact IN stats. (The former --exact flag is
+    # gone: fast_in_stats was dropped in round 2 when the fused encoder made
+    # exact statistics free, so there is no fast/exact split to toggle.)
     cfg = RAFTStereoConfig(corr_implementation="reg_cuda", pallas_encoder=True)
     B, H, W = 1, 736, 1280
     rng = np.random.default_rng(0)
@@ -71,7 +72,6 @@ def main():
     results["fixed_cost"] = results["model_iters2"] - 2 * per_iter
 
     # fnet alone (dual-image batch, as the model runs it; fused w2d chain)
-    fnet_norm = "instance_fast" if fast else "instance"
     fnet = BasicEncoder(256, "instance", cfg.n_downsample, dtype=dt,
                         fused_fullres=cfg.pallas_encoder)
     fp = fnet.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3), dt))
@@ -104,7 +104,7 @@ def main():
     results["corr_volume_pyramid"] = timeit(vol, fm, fm)
 
     for k, v in results.items():
-        print(json.dumps({"stage": k, "ms": round(float(v), 2), "fast": fast}), flush=True)
+        print(json.dumps({"stage": k, "ms": round(float(v), 2)}), flush=True)
 
 
 if __name__ == "__main__":
