@@ -65,6 +65,12 @@ class IGEVStereoConfig:
     # TPU extension: jax.checkpoint each GRU iteration (activation memory
     # O(1) in iters; numerics identical — tests/test_remat.py)
     remat_iters: bool = False
+    # depth-to-lane packed cost aggregation (nn/conv3d_packed.py): the GWC
+    # volume flows (B,H,W,D,C) and every 3D conv of corr_stem/hourglass/
+    # classifier runs as a full-lane 2D conv. Same parameters, same math
+    # (tests/test_igev_packed.py); ~5x faster aggregation on TPU
+    # (IGEV_PROF_r05 vs docs/PERF.md round 5). False = direct NDHWC convs.
+    agg_packed: bool = True
 
     @property
     def compute_dtype(self):
@@ -279,20 +285,30 @@ class IGEVStereo(nn.Module):
             match_r = jax.lax.stop_gradient(match_r)
             stem_2x = jax.lax.stop_gradient(stem_2x)
 
-        gwc = build_gwc_volume(match_l, match_r, D4, 8).astype(dt)  # (B,D4,H4,W4,8)
+        pk = cfg.agg_packed
+        vol_layout = "nhwdc" if pk else "ndhwc"
+        gwc = build_gwc_volume(match_l, match_r, D4, 8, layout=vol_layout).astype(dt)
         # corr_stem is a default BasicConv: BN + LeakyReLU (igev_stereo.py:130)
-        gwc = BasicConvIGEV(8, False, 3, "batch", True, 3, 1, 1, ura, dt, name="corr_stem")(gwc)
-        gwc = FeatureAtt(8, ura, dt, name="corr_feature_att")(gwc, feats_l[0])
-        geo_volume = HourglassIGEV(8, ura, dt, name="cost_agg")(gwc, feats_l)  # (B,D4,H4,W4,8)
+        gwc = BasicConvIGEV(8, False, 3, "batch", True, 3, 1, 1, ura, dt, pk, name="corr_stem")(gwc)
+        gwc = FeatureAtt(8, ura, dt, pk, name="corr_feature_att")(gwc, feats_l[0])
+        geo_volume = HourglassIGEV(8, ura, dt, pk, name="cost_agg")(gwc, feats_l)
 
-        # 8→1ch disparity classifier via thin_conv3d (full-lane matmul +
-        # shifted tap adds; nn.Conv-compatible param tree)
+        # 8→1ch disparity classifier; packed: one banded full-lane 2D conv
+        # emitting (B,H4,W4,D4) directly (regression layout, no transpose);
+        # direct: thin_conv3d (full-lane matmul + shifted tap adds)
         ck, _ = RawConv3DParams(
             (3, 3, 3, geo_volume.shape[-1], 1), use_bias=False, name="classifier"
         )()
-        logits = thin_conv3d(geo_volume, ck, None, dt)[..., 0]  # (B,D4,H4,W4)
-        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
-        init_disp = disparity_regression(prob.transpose(0, 2, 3, 1), D4)  # (B,H4,W4,1)
+        if pk:
+            from dkt_stereo_tpu.nn.conv3d_packed import conv3d_packed
+
+            logits = conv3d_packed(geo_volume, ck, (1, 1, 1), (1, 1, 1), dt)[..., 0]
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (B,H4,W4,D4)
+            init_disp = disparity_regression(prob, D4)  # (B,H4,W4,1)
+        else:
+            logits = thin_conv3d(geo_volume, ck, None, dt)[..., 0]  # (B,D4,H4,W4)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+            init_disp = disparity_regression(prob.transpose(0, 2, 3, 1), D4)  # (B,H4,W4,1)
 
         if not self.test_mode:
             xspx = BasicConvIGEV(24, False, 2, "instance", True, 3, 1, 1, ura, dt, name="spx_4_0")(feats_l[0])
@@ -317,8 +333,9 @@ class IGEVStereo(nn.Module):
 
         geo_fn = CombinedGeoEncodingVolume(
             match_l.astype(jnp.float32), match_r.astype(jnp.float32),
-            geo_volume.astype(jnp.float32),  # (B, D, H, W, C)
+            geo_volume.astype(jnp.float32),  # (B,D,H,W,C) or packed (B,H,W,D,C)
             num_levels=cfg.corr_levels, radius=cfg.corr_radius,
+            layout=vol_layout,
         )
         B, Hc, Wc, _ = match_l.shape
         coords = jnp.broadcast_to(

@@ -62,8 +62,24 @@ class ConvTransposeTorch(nn.Module):
         return y
 
 
+class _RawKernelParam(nn.Module):
+    """Bare conv kernel parameter with an nn.Conv/ConvTransposeTorch scope
+    path ({name}/kernel) — lets the d2l-packed conv path below keep the
+    exact parameter tree of the direct path (checkpoint interchange)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_out, self.shape, jnp.float32)
+
+
 class BasicConvIGEV(nn.Module):
-    """BasicConv / BasicConv_IN unified: norm in {"batch", "instance", None}."""
+    """BasicConv / BasicConv_IN unified: norm in {"batch", "instance", None}.
+
+    ``packed=True`` (dims==3 only): input/output volumes are depth-to-lane
+    packed (B,H,W,D,C) and the conv runs as ONE full-lane 2D conv
+    (nn/conv3d_packed.py) — same parameter tree, same math."""
 
     features: int
     deconv: bool = False
@@ -75,11 +91,24 @@ class BasicConvIGEV(nn.Module):
     padding: tuple | int = 1
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         nd = self.dims
-        if self.deconv:
+        if self.packed and nd == 3:
+            from dkt_stereo_tpu.nn.conv3d_packed import conv3d_packed, deconv3d_packed
+
+            k = (self.kernel,) * 3 if isinstance(self.kernel, int) else tuple(self.kernel)
+            s = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
+            p = (self.padding,) * 3 if isinstance(self.padding, int) else tuple(self.padding)
+            if self.deconv:
+                w = _RawKernelParam((*k, self.features, x.shape[-1]), name="conv")()
+                x = deconv3d_packed(x, w, s, p, dtype=self.dtype)
+            else:
+                w = _RawKernelParam((*k, x.shape[-1], self.features), name="conv")()
+                x = conv3d_packed(x, w, s, p, dtype=self.dtype)
+        elif self.deconv:
             x = ConvTransposeTorch(
                 self.features, nd, self.kernel, self.stride, self.padding,
                 0, False, self.dtype, name="conv",
@@ -141,11 +170,15 @@ class Conv2xIGEV(nn.Module):
 
 
 class FeatureAtt(nn.Module):
-    """submodule.py:227-240: cv ← sigmoid(att(feat)) ⊙ cv (broadcast over D)."""
+    """submodule.py:227-240: cv ← sigmoid(att(feat)) ⊙ cv (broadcast over D).
+
+    ``packed=True``: cv arrives depth-to-lane packed (B,H,W,D,C); the
+    attention map broadcasts over axis 3 instead of axis 1."""
 
     cv_chan: int
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, cv, feat):
@@ -154,52 +187,59 @@ class FeatureAtt(nn.Module):
                           self.use_running_average, self.dtype, name="feat_att_0")(feat)
         a = nn.Conv(self.cv_chan, (1, 1), use_bias=True, kernel_init=kaiming_out,
                     dtype=self.dtype, name="feat_att_1")(a)
+        if self.packed:
+            return nn.sigmoid(a)[:, :, :, None] * cv  # (B,H,W,1,C) ⊙ (B,H,W,D,C)
         return nn.sigmoid(a)[:, None] * cv  # (B,1,H,W,C) ⊙ (B,D,H,W,C)
 
 
 class HourglassIGEV(nn.Module):
     """igev_stereo.py:22-89: 3-level 3D encoder-decoder with FeatureAtt at
-    every scale; ``features``: [x4, x8, x16, x32] 2D maps."""
+    every scale; ``features``: [x4, x8, x16, x32] 2D maps.
+
+    ``packed=True``: the volume flows depth-to-lane packed (B,H,W,D,C)
+    end-to-end — the concats/attention broadcasts are layout-agnostic on
+    the trailing C axis, so only the conv primitive changes."""
 
     in_channels: int
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, features):
-        c, ura, dt = self.in_channels, self.use_running_average, self.dtype
+        c, ura, dt, pk = self.in_channels, self.use_running_average, self.dtype, self.packed
 
         def bc(feat, name, deconv=False, kernel=3, stride=1, pad=1, norm="batch", relu=True):
-            return BasicConvIGEV(feat, deconv, 3, norm, relu, kernel, stride, pad, ura, dt, name=name)
+            return BasicConvIGEV(feat, deconv, 3, norm, relu, kernel, stride, pad, ura, dt, pk, name=name)
 
         conv1 = bc(c * 2, "conv1_0", stride=2)(x)
         conv1 = bc(c * 2, "conv1_1")(conv1)
-        conv1 = FeatureAtt(c * 2, ura, dt, name="feature_att_8")(conv1, features[1])
+        conv1 = FeatureAtt(c * 2, ura, dt, pk, name="feature_att_8")(conv1, features[1])
 
         conv2 = bc(c * 4, "conv2_0", stride=2)(conv1)
         conv2 = bc(c * 4, "conv2_1")(conv2)
-        conv2 = FeatureAtt(c * 4, ura, dt, name="feature_att_16")(conv2, features[2])
+        conv2 = FeatureAtt(c * 4, ura, dt, pk, name="feature_att_16")(conv2, features[2])
 
         conv3 = bc(c * 6, "conv3_0", stride=2)(conv2)
         conv3 = bc(c * 6, "conv3_1")(conv3)
-        conv3 = FeatureAtt(c * 6, ura, dt, name="feature_att_32")(conv3, features[3])
+        conv3 = FeatureAtt(c * 6, ura, dt, pk, name="feature_att_32")(conv3, features[3])
 
         conv3_up = bc(c * 4, "conv3_up", deconv=True, kernel=4, stride=2, pad=1)(conv3)
         conv2 = jnp.concatenate([conv3_up, conv2], axis=-1)
         conv2 = bc(c * 4, "agg_0_0", kernel=1, pad=0)(conv2)
         conv2 = bc(c * 4, "agg_0_1")(conv2)
         conv2 = bc(c * 4, "agg_0_2")(conv2)
-        conv2 = FeatureAtt(c * 4, ura, dt, name="feature_att_up_16")(conv2, features[2])
+        conv2 = FeatureAtt(c * 4, ura, dt, pk, name="feature_att_up_16")(conv2, features[2])
 
         conv2_up = bc(c * 2, "conv2_up", deconv=True, kernel=4, stride=2, pad=1)(conv2)
         conv1 = jnp.concatenate([conv2_up, conv1], axis=-1)
         conv1 = bc(c * 2, "agg_1_0", kernel=1, pad=0)(conv1)
         conv1 = bc(c * 2, "agg_1_1")(conv1)
         conv1 = bc(c * 2, "agg_1_2")(conv1)
-        conv1 = FeatureAtt(c * 2, ura, dt, name="feature_att_up_8")(conv1, features[1])
+        conv1 = FeatureAtt(c * 2, ura, dt, pk, name="feature_att_up_8")(conv1, features[1])
 
         # final up: 8 channels, no bn/relu (igev_stereo.py:48-49)
-        return BasicConvIGEV(8, True, 3, None, False, 4, 2, 1, ura, dt, name="conv1_up")(conv1)
+        return BasicConvIGEV(8, True, 3, None, False, 4, 2, 1, ura, dt, pk, name="conv1_up")(conv1)
 
 
 class IGEVFeature(nn.Module):

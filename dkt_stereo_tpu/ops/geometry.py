@@ -55,9 +55,12 @@ def geo_lookup(
 class CombinedGeoEncodingVolume:
     """Functional port: construct once per forward, call per iteration."""
 
-    def __init__(self, fmap1, fmap2, geo_volume, num_levels=2, radius=4):
+    def __init__(self, fmap1, fmap2, geo_volume, num_levels=2, radius=4,
+                 layout="ndhwc"):
         """fmap1/2: (B,H,W,D) descriptors; geo_volume: (B, Disp, H, W, C)
-        (this framework's NDHWC volume layout)."""
+        (this framework's NDHWC volume layout), or (B, H, W, Disp, C) with
+        ``layout="nhwdc"`` (the depth-to-lane packed aggregation output —
+        already the pyramid's sampling layout, so no major transpose)."""
         self.num_levels = num_levels
         self.radius = radius
         # init correlation (no 1/sqrt(D): geometry.py:62-69 omits the scale);
@@ -67,7 +70,10 @@ class CombinedGeoEncodingVolume:
             fmap1, fmap2, num_levels, scaled=False
         )
 
-        g = geo_volume.transpose(0, 2, 3, 4, 1)  # (B,H,W,C,Disp)
+        if layout == "nhwdc":
+            g = geo_volume.transpose(0, 1, 2, 4, 3)  # (B,H,W,C,Disp)
+        else:
+            g = geo_volume.transpose(0, 2, 3, 4, 1)  # (B,H,W,C,Disp)
         self.geo_pyramid = [g.transpose(0, 1, 2, 4, 3)]  # (B,H,W,Disp,C)
         for _ in range(num_levels - 1):
             d = g.shape[-1]

@@ -28,13 +28,18 @@ def _shift_right(fea: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_gwc_volume(
-    fmap1: jnp.ndarray, fmap2: jnp.ndarray, maxdisp: int, num_groups: int
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, maxdisp: int, num_groups: int,
+    layout: str = "ndhwc",
 ) -> jnp.ndarray:
     """Group-wise correlation volume.
 
     (B,H,W,C)×2 → (B, D, H, W, G); cost[b,d,h,w,g] = mean over the group's
     channels of f1[w]·f2[w-d], zero where w < d — matching
     meta_arch/igev_stereo/submodule.py:160-170.
+
+    ``layout="nhwdc"`` emits (B, H, W, D, G) — the depth-to-lane packed
+    layout of nn/conv3d_packed.py — directly from the scan (one transpose
+    either way; no extra relayout for the packed aggregation path).
     """
     B, H, W, C = fmap1.shape
     G = num_groups
@@ -47,6 +52,8 @@ def build_gwc_volume(
         return None, cost
 
     _, vol = jax.lax.scan(step, None, jnp.arange(maxdisp))
+    if layout == "nhwdc":
+        return vol.transpose(1, 2, 3, 0, 4)  # (B,H,W,D,G)
     return vol.transpose(1, 0, 2, 3, 4)  # (B,D,H,W,G)
 
 
