@@ -189,6 +189,9 @@ class _IGEVIterStep(nn.Module):
         net, mask_feat_4, delta = block(
             net, inp, geo_feat.astype(dt), disp.astype(dt),
             iter16=cfg.n_gru_layers == 3, iter08=cfg.n_gru_layers >= 2,
+            # test mode: the mask feature feeds only the final iteration's
+            # spx upsample — skip its conv on the other 31 iterations
+            mask_pred=None if self.collect_up else is_last,
         )
         disp = disp + delta.astype(jnp.float32)
 
@@ -246,9 +249,15 @@ class IGEVStereo(nn.Module):
         x1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
         x2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
 
+        # both views through the trunk as ONE batch-2B call (the reference
+        # runs two python calls, igev_stereo.py:159-160; batching is exact —
+        # BN is eval-affine, IN is per-sample — and ~2x better utilized)
+        B0 = x1.shape[0]
+        x12 = jnp.concatenate([x1, x2], axis=0)
         feature = IGEVFeature(ura, dt, name="feature")
-        feats_l = feature(x1)
-        feats_r = feature(x2)
+        feats_lr = feature(x12)
+        feats_l = [f[:B0] for f in feats_lr]
+        feats_r = [f[B0:] for f in feats_lr]
 
         # shared InstanceNorm module (param-free), NOT inline math: the
         # banded eval's cross_band_stats context must hook these norms too
@@ -265,17 +274,18 @@ class IGEVStereo(nn.Module):
         stem_2 = lambda x: _inorm_relu(stem2_b(stem2_a(x)))
         stem_4 = lambda x: _inorm_relu(stem4_b(stem4_a(x)))
 
-        stem_2x = stem_2(x1)
-        stem_4x = stem_4(stem_2x)
-        stem_2y = stem_2(x2)
-        stem_4y = stem_4(stem_2y)
-        feats_l[0] = jnp.concatenate([feats_l[0], stem_4x], axis=-1)  # 96ch
-        feats_r[0] = jnp.concatenate([feats_r[0], stem_4y], axis=-1)
+        stem_2xy = stem_2(x12)
+        stem_4xy = stem_4(stem_2xy)
+        stem_2x = stem_2xy[:B0]
+        feat0_lr = jnp.concatenate([feats_lr[0], stem_4xy], axis=-1)  # 96ch
+        feats_l[0] = feat0_lr[:B0]
+        feats_r[0] = feat0_lr[B0:]
 
         conv_m = BasicConvIGEV(96, False, 2, "instance", True, 3, 1, 1, ura, dt, name="conv")
         desc_m = conv(96, 1, 1, 0, dt, name="desc")
-        match_l = desc_m(conv_m(feats_l[0]))
-        match_r = desc_m(conv_m(feats_r[0]))
+        match_lr = desc_m(conv_m(feat0_lr))
+        match_l = match_lr[:B0]
+        match_r = match_lr[B0:]
 
         if cfg.freeze_backbone and not self.test_mode:
             # torch.no_grad() trunk during fine-tune (igev_stereo.py:157-168)
@@ -300,10 +310,10 @@ class IGEVStereo(nn.Module):
             (3, 3, 3, geo_volume.shape[-1], 1), use_bias=False, name="classifier"
         )()
         if pk:
-            from dkt_stereo_tpu.nn.conv3d_packed import conv3d_packed
+            from dkt_stereo_tpu.nn.conv3d_packed import thin_conv3d_packed
 
-            logits = conv3d_packed(geo_volume, ck, (1, 1, 1), (1, 1, 1), dt)[..., 0]
-            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (B,H4,W4,D4)
+            logits = thin_conv3d_packed(geo_volume, ck, 1, 1, dt)  # (B,H4,W4,D4)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             init_disp = disparity_regression(prob, D4)  # (B,H4,W4,1)
         else:
             logits = thin_conv3d(geo_volume, ck, None, dt)[..., 0]  # (B,D4,H4,W4)

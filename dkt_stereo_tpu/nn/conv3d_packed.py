@@ -99,6 +99,26 @@ def conv3d_packed(x, kernel, stride=(1, 1, 1), padding=(1, 1, 1), dtype=jnp.floa
     return y.reshape(*y.shape[:3], d_out, co)
 
 
+def thin_conv3d_packed(x, kernel, stride_d=1, pad_d=1, dtype=jnp.float32):
+    """3×3×3 conv with Co=1 on a packed volume → (B,H,W,Dout).
+
+    The banded 2D kernel has only D_out=48 output lanes — a direct conv
+    underfills N (measured 6.2 ms for the IGEV init classifier). Routing it
+    through nn/gru.py::thin_conv3x3 instead (z = x @ W(D·Ci, 9·D_out), one
+    full-lane matmul, then 9 shifted VPU adds) runs the same math at full
+    MXU occupancy."""
+    from dkt_stereo_tpu.nn.gru import thin_conv3x3
+
+    kd, kh, kw, ci, co = kernel.shape
+    assert co == 1
+    B, H, W, D, _ = x.shape
+    sel = _sel_conv(D, kd, stride_d, pad_d)
+    k2d = _banded_kernel(sel, kernel)  # (kh, kw, D*Ci, Dout)
+    d_out = sel.shape[-1]
+    zero_b = jnp.zeros((d_out,), jnp.float32)
+    return thin_conv3x3(x.reshape(B, H, W, D * ci), k2d, zero_b, dtype)
+
+
 def deconv3d_packed(
     x, kernel, stride=(2, 2, 2), padding=(1, 1, 1), output_padding=(0, 0, 0),
     dtype=jnp.float32,

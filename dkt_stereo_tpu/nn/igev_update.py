@@ -12,7 +12,9 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dkt_stereo_tpu.nn.blocks import conv
+import jax
+
+from dkt_stereo_tpu.nn.blocks import _ConvParams, conv
 from dkt_stereo_tpu.nn.gru import ConvGRU, FlowHead
 from dkt_stereo_tpu.ops.resize import interp_bilinear_align, pool2x
 
@@ -43,7 +45,8 @@ class BasicMultiUpdateBlockIGEV(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr=None, disp=None,
-                 iter04=True, iter08=True, iter16=True, update=True):
+                 iter04=True, iter08=True, iter16=True, update=True,
+                 mask_pred=None):
         hd = self.hidden_dims
         net = list(net)
         gru04 = ConvGRU(hd[2], dtype=self.dtype, name="gru04")
@@ -70,5 +73,23 @@ class BasicMultiUpdateBlockIGEV(nn.Module):
             return tuple(net)
 
         delta_disp = FlowHead(256, 1, self.dtype, name="disp_head")(net[0])
-        mask_feat_4 = nn.relu(conv(32, 3, 1, 1, self.dtype, name="mask_feat_4_0")(net[0]))
+        # mask_feat feeds only the spx upsample (update.py:117-119), which in
+        # test mode runs only on the FINAL iteration — cond-skip it elsewhere
+        # (raw params keep nn.Conv's tree; mask_pred=None = always-on, train)
+        mk, mb = _ConvParams(32, net[0].shape[-1], 3, name="mask_feat_4_0")()
+
+        def _mask_feat(h):
+            m = jax.lax.conv_general_dilated(
+                h.astype(self.dtype), mk.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return nn.relu(m + mb.astype(self.dtype))
+
+        if mask_pred is None:
+            mask_feat_4 = _mask_feat(net[0])
+        else:
+            mask_feat_4 = jax.lax.cond(
+                mask_pred, _mask_feat,
+                lambda h: jnp.zeros(h.shape[:3] + (32,), self.dtype), net[0]
+            )
         return tuple(net), mask_feat_4, delta_disp

@@ -178,6 +178,24 @@ class InstanceNorm(nn.Module):
         # fused pass and measurably faster there.
         def _stats(t):
             n = t.shape[1] * t.shape[2]
+            if t.dtype == jnp.bfloat16:
+                # single-pass sum/sumsq (var = E[x²] − m²), the same stats
+                # formulation as the banded path above and the fused w2d
+                # encoder (encoder_conv.py::in_affine). The two-pass E[(x−m)²]
+                # form forces the centered tensor to MATERIALIZE (it feeds
+                # both the var reduce and the output), costing two extra HBM
+                # passes per norm — measured 17 ms of the fnet layer2/3
+                # tail's 29 at eval geometry, ~3x less with this form. The
+                # squares convert to fp32 inside the fused reduce (no fp32
+                # copy); cancellation is benign at bf16 tolerances. fp32
+                # inputs (parity mode) keep the exact centered form below.
+                sm = jnp.sum(jnp.sum(t, axis=2, dtype=jnp.float32), axis=1) / n
+                sq = (
+                    jnp.sum(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=2), axis=1)
+                    / n
+                )
+                v = sq - sm * sm
+                return sm[:, None, None, :], v[:, None, None, :]
             if t.size < (1 << 26):
                 m = jnp.mean(t, axis=(1, 2), keepdims=True, dtype=jnp.float32)
                 c = t - m.astype(t.dtype)

@@ -52,6 +52,9 @@ def build_gwc_volume(
         return None, cost
 
     _, vol = jax.lax.scan(step, None, jnp.arange(maxdisp))
+    # (an 8-disparities-per-step blocked variant was measured SLOWER on chip
+    # — 8.8 vs 6.0 ms at IGEV eval geometry — XLA already pipelines the
+    # per-step streams; keep the simple scan)
     if layout == "nhwdc":
         return vol.transpose(1, 2, 3, 0, 4)  # (B,H,W,D,G)
     return vol.transpose(1, 0, 2, 3, 4)  # (B,D,H,W,G)

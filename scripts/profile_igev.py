@@ -68,6 +68,21 @@ def main():
     results = {}
     img = arr(B, H, W, 3)
 
+    # --- per-call dispatch floor (axon tunnel) ---
+    # a single bare jit call costs ~5-6 ms of host-side dispatch that
+    # CANNOT overlap for these one-op stage probes (measured: one 4096^3
+    # bf16 matmul = 137 GF times at ~6.2 ms = 22 TF/s vs the 134.8 TF/s
+    # the same matmul sustains inside a chained loop). Every stage number
+    # below carries ~this floor; whole-model numbers are honest because
+    # dispatch overlaps the ~200 ms of device compute.
+    tiny = jnp.zeros((8, 128), jnp.float32)
+
+    @jax.jit
+    def run_tiny(t):
+        return jnp.sum(t)
+
+    results["dispatch_floor"] = timeit(run_tiny, tiny)
+
     # --- feature trunk (both views) ---
     feat = IGEVFeature(True, dt)
     fp = feat.init(jax.random.PRNGKey(0), img)
@@ -77,6 +92,28 @@ def main():
         return scalar((feat.apply(fp, x1), feat.apply(fp, x2)))
 
     results["feature_x2"] = timeit(run_feature, img, arr(B, H, W, 3))
+
+    # --- feature trunk, both views as ONE batch-2 call (round-5 model path)
+    @jax.jit
+    def run_feature_b2(x12):
+        return scalar(feat.apply(fp, x12))
+
+    results["feature_b2"] = timeit(run_feature_b2, arr(2 * B, H, W, 3))
+
+    # --- context encoder ---
+    from dkt_stereo_tpu.nn.blocks import MultiBasicEncoder
+
+    cnet = MultiBasicEncoder(
+        output_dim=((128, 128, 128), (128, 128, 128)), norm_fn="batch",
+        downsample=2, num_layers=3, dtype=dt,
+    )
+    cp = cnet.init(jax.random.PRNGKey(0), jnp.zeros((B, 64, 64, 3), dt))
+
+    @jax.jit
+    def run_cnet(x):
+        return scalar(cnet.apply(cp, x))
+
+    results["cnet"] = timeit(run_cnet, img)
 
     feats = [arr(B, H4, W4, 96), arr(B, H8, W8, 64), arr(B, H16, W16, 192), arr(B, H32, W32, 160)]
 
@@ -122,6 +159,48 @@ def main():
         return scalar(disparity_regression(prob.transpose(0, 2, 3, 1), D4))
 
     results["classifier_init"] = timeit(run_cls, gwc)
+
+    # --- packed stages (round-5 depth-to-lane path; default agg_packed) ---
+    from dkt_stereo_tpu.nn.conv3d_packed import conv3d_packed
+    from dkt_stereo_tpu.ops.volumes import build_gwc_volume
+
+    gwc_p = arr(B, H4, W4, D4, 8)
+
+    @jax.jit
+    def run_gwc_packed(ml, mr):
+        return scalar(build_gwc_volume(ml, mr, D4, 8, layout="nhwdc").astype(dt))
+
+    results["gwc_build_packed_layout"] = timeit(run_gwc_packed, ml, mr)
+
+    stem_p = BasicConvIGEV(8, False, 3, "batch", True, 3, 1, 1, True, dt, True)
+    spp = stem_p.init(jax.random.PRNGKey(0), gwc_p)
+    att_p = FeatureAtt(8, True, dt, True)
+    app = att_p.init(jax.random.PRNGKey(0), gwc_p, feats[0])
+
+    @jax.jit
+    def run_stem_att_packed(g, f0):
+        return scalar(att_p.apply(app, stem_p.apply(spp, g), f0))
+
+    results["corr_stem_att_packed"] = timeit(run_stem_att_packed, gwc_p, feats[0])
+
+    hg_p = HourglassIGEV(8, True, dt, True)
+    hpp = hg_p.init(jax.random.PRNGKey(0), gwc_p, feats)
+
+    @jax.jit
+    def run_hg_packed(g, feats):
+        return scalar(hg_p.apply(hpp, g, feats))
+
+    results["hourglass_packed"] = timeit(run_hg_packed, gwc_p, feats)
+
+    from dkt_stereo_tpu.nn.conv3d_packed import thin_conv3d_packed
+
+    @jax.jit
+    def run_cls_packed(geo):
+        logits = thin_conv3d_packed(geo, ck, 1, 1, dt)  # shipped packed path
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return scalar(disparity_regression(prob, D4))
+
+    results["classifier_init_packed"] = timeit(run_cls_packed, gwc_p)
 
     # --- GRU loop x32 (geo lookup + update block, test mode) ---
     from dkt_stereo_tpu.ops.pallas.geo_lookup import geo_lookup_pallas
