@@ -64,6 +64,15 @@ def main():
     img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
     img2 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
 
+    # per-call dispatch floor (axon tunnel): every isolated stage below
+    # carries ~this; the full_itersN rows are one call each and honest
+    # (docs/PERF.md round 5)
+    @jax.jit
+    def run_tiny(t):
+        return jnp.sum(t)
+
+    results["dispatch_floor"] = timeit(run_tiny, jnp.zeros((8, 128), jnp.float32))
+
     # --- full model at several iteration counts (fixed vs per-iter split) ---
     cfg = PCVNetConfig(corr_implementation="reg" if smoke else "reg_cuda")
     params = None

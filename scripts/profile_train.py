@@ -307,11 +307,16 @@ def main():
             batched_teachers=True,
         )
     if only == "best_attrib":
+        # the SHIPPED recipe (configs/raft_stereo/train.json): Pallas corr +
+        # remat, fused encoder and batched teachers OFF — both measured as
+        # losses at recipe geometry in this artifact's A/B rows (the fused
+        # encoder's value is full-resolution training, where the XLA encoder
+        # OOMs; the vmapped dual-teacher loses its fused encoder under vmap
+        # and lowers batched-weight convs poorly)
         phase_attribution(
-            {**base, "corr_implementation": "reg_cuda", "pallas_encoder": True},
-            "pallas_corr_enc_batched_teachers_attrib",
+            {**base, "corr_implementation": "reg_cuda"},
+            "shipped_recipe_attrib",
             results,
-            batched_teachers=True,
         )
 
     if not smoke:
