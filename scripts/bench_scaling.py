@@ -178,8 +178,8 @@ def _analytic(results: dict):
         try:
             rows = json.load(open(art))
             pref = [
-                "pallas_corr_enc_batched_teachers_attrib",
-                "pallas_corr_enc_batched_teachers",
+                "shipped_recipe_attrib",  # configs/raft_stereo/train.json as shipped
+                "pallas_corr",
                 "pallas_corr_enc",
             ]
             by_label = {r.get("config"): r for r in rows if "full_step_ms" in r}
